@@ -1,0 +1,60 @@
+"""Dictionary codec for low-NDV columns (``role``, ``tool``).
+
+Codes come from ``pd.factorize`` (first-appearance order — deterministic for
+a given sorted block) and are FOR+bit-packed; the dictionary itself is stored
+as delta-packed offsets + utf8 bytes (strings) or packed int64s.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import bitpack as bp
+from .base import DTYPE_I64, DTYPE_STR, buf_to_strings, pack_sections, split_sections, strings_to_buf
+
+
+def factorize_block(values) -> tuple[np.ndarray, "object"]:
+    """Deterministic first-appearance (codes, uniques) for one block.
+
+    Uses Arrow's dictionary_encode, not ``pd.factorize``: pandas' string
+    hashing is NUL-terminated, so ``"\\x00\\x01"`` would collide with ``""``.
+    """
+    import pyarrow as pa
+
+    if isinstance(values, pa.Array):
+        arr = values
+    else:
+        arr = pa.Array.from_pandas(pd.Series(values, copy=False))
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    d = arr.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return codes, d.dictionary
+
+
+class DictCodec:
+    name = "dict"
+    dtypes = (DTYPE_STR, DTYPE_I64)
+
+    def encode(self, values, dtype: str) -> tuple[dict, bytes]:
+        codes, uniques = factorize_block(values)
+        code_b = bp.encode_i64(codes)
+        if dtype == DTYPE_STR:
+            offsets, buf = strings_to_buf(uniques)
+            lens, payload = pack_sections([code_b, bp.encode_i64(offsets), buf])
+        else:
+            uniq_np = uniques.to_numpy(zero_copy_only=False) if hasattr(uniques, "to_numpy") else uniques
+            lens, payload = pack_sections(
+                [code_b, bp.encode_i64(np.ascontiguousarray(uniq_np, dtype=np.int64))]
+            )
+        return {"sections": lens, "ndv": int(len(uniques))}, payload
+
+    def decode(self, meta: dict, payload: bytes, n: int, dtype: str):
+        parts = split_sections(meta["sections"], payload)
+        codes = bp.decode_i64(parts[0])
+        if dtype == DTYPE_STR:
+            uniques = buf_to_strings(bp.decode_i64(parts[1]), parts[2])
+            return uniques.take(codes)  # arrow take — vectorized
+        uniques = bp.decode_i64(parts[1])
+        return uniques[codes]

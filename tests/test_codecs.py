@@ -1,0 +1,120 @@
+"""Per-codec unit round-trips on adversarial arrays (no Spark needed).
+
+Mirrors the reference's randomized round-trip strategy
+(``tests/test_writer.py:13-40``, seeded rng) plus the adversarial cases
+FIXTURES.md calls for: empty block, single row, all-identical, all-distinct,
+widths 1..64 bits, unicode / empty strings, escape-heavy text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bids2table_spark.codecs import CODECS, codecs_for_dtype
+from bids2table_spark.codecs import bitpack as bp
+
+rng = np.random.default_rng(2022)
+
+INT_CASES = {
+    "empty": np.array([], dtype=np.int64),
+    "single": np.array([7], dtype=np.int64),
+    "all_same": np.full(5000, 42, dtype=np.int64),
+    "sorted_runs": np.repeat(np.arange(100), rng.integers(1, 50, 100)).astype(np.int64),
+    "all_distinct": rng.permutation(10000).astype(np.int64),
+    "negatives": rng.integers(-(2**62), 2**62, 4096).astype(np.int64),
+    "extremes": np.array([np.iinfo(np.int64).min, 0, np.iinfo(np.int64).max], dtype=np.int64),
+    "monotone_jitter": np.cumsum(rng.integers(1, 300, 8000)).astype(np.int64),
+}
+
+STR_CASES = {
+    "empty": [],
+    "single": ["x"],
+    "empties": ["", "", ""],
+    "all_same": ["assistant"] * 3000,
+    "low_ndv": [["system", "user", "assistant", "tool"][i % 4] for i in range(2000)],
+    "unicode": ["héllo wörld 🚀", "日本語テキスト", "", "ascii", "\x00\x01", "ÿ" * 10] * 50,
+    "long_runs": ["user"] * 500 + ["assistant"] * 500 + ["tool"] * 7,
+    "jsonish": ['{"tool":"bash","args":{"cmd":"ls"},"status":"ok"}'] * 300,
+    "distinct": [f"conv-{i:012d}" for i in range(2000)],
+}
+
+
+@pytest.mark.parametrize("width", [0, 1, 2, 3, 7, 8, 13, 31, 32, 33, 63, 64])
+def test_bitpack_widths(width):
+    n = 1000
+    if width == 64:
+        vals = rng.integers(0, 2**63, n).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    else:
+        vals = rng.integers(0, 2**width if width else 1, n).astype(np.uint64)
+    packed = bp.pack_bits(vals, width)
+    assert len(packed) == (n * width + 7) // 8
+    out = bp.unpack_bits(packed, n, width)
+    assert np.array_equal(vals, out)
+
+
+@pytest.mark.parametrize("case", list(INT_CASES))
+@pytest.mark.parametrize("codec_name", codecs_for_dtype("i64"))
+def test_int_roundtrip(codec_name, case):
+    vals = INT_CASES[case]
+    codec = CODECS[codec_name]
+    meta, payload = codec.encode(vals, "i64")
+    out = np.asarray(codec.decode(meta, payload, len(vals), "i64"))
+    assert out.dtype == np.int64 or len(out) == 0
+    assert np.array_equal(vals, out.astype(np.int64)), f"{codec_name}/{case}"
+
+
+@pytest.mark.parametrize("case", list(STR_CASES))
+@pytest.mark.parametrize("codec_name", codecs_for_dtype("str"))
+def test_str_roundtrip(codec_name, case):
+    vals = STR_CASES[case]
+    codec = CODECS[codec_name]
+    meta, payload = codec.encode(pd.Series(vals, dtype="object"), "str")
+    out = codec.decode(meta, payload, len(vals), "str")
+    got = out.to_pylist() if hasattr(out, "to_pylist") else list(out)
+    assert got == vals, f"{codec_name}/{case}"
+
+
+def test_compression_effective():
+    """Sanity: each codec actually compresses the data shape it targets."""
+    role = pd.Series((["user"] * 40 + ["assistant"] * 40 + ["system"]) * 100)
+    meta, payload = CODECS["rle"].encode(role, "str")
+    raw = sum(len(s) for s in role)
+    assert len(payload) < raw / 20
+
+    meta, payload = CODECS["dict"].encode(role, "str")
+    assert len(payload) < raw / 4
+
+    ts = np.cumsum(rng.integers(1, 300, 50000)).astype(np.int64) * 10**9
+    meta, payload = CODECS["delta"].encode(ts, "i64")
+    assert len(payload) < ts.nbytes / 4
+
+    turn = np.tile(np.arange(200), 250).astype(np.int64)
+    meta, payload = CODECS["forbp"].encode(turn, "i64")
+    assert len(payload) < turn.nbytes / 4
+
+    text = pd.Series(['{"tool":"bash","args":{"cmd":"ls -la /tmp"},"status":"ok"}'] * 2000)
+    meta, payload = CODECS["fsst"].encode(text, "str")
+    assert len(payload) < sum(len(s) for s in text) / 2
+
+
+def test_fsst_escape_everything():
+    """Text with no repeated symbols must still round-trip (escape path)."""
+    vals = ["".join(chr(32 + ((i * 37 + j * 11) % 900)) for j in range(20)) for i in range(50)]
+    codec = CODECS["fsst"]
+    meta, payload = codec.encode(pd.Series(vals), "str")
+    assert codec.decode(meta, payload, len(vals), "str").to_pylist() == vals
+
+
+def test_fsst_multibyte_utf8_straddle():
+    """Multi-byte UTF-8 sequences straddling symbol boundaries."""
+    vals = ["🚀" * 40, "é" * 33 + "🚀", "日本語" * 21] * 30
+    codec = CODECS["fsst"]
+    meta, payload = codec.encode(pd.Series(vals), "str")
+    assert codec.decode(meta, payload, len(vals), "str").to_pylist() == vals
+
+
+def test_zigzag_extremes():
+    v = np.array([0, -1, 1, np.iinfo(np.int64).min, np.iinfo(np.int64).max], dtype=np.int64)
+    assert np.array_equal(bp.unzigzag(bp.zigzag(v)), v)

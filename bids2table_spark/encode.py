@@ -1,0 +1,98 @@
+"""Distributed encode: DataFrame -> encoded block rows.
+
+Pipeline shape (reference parity: crawl -> accumulate -> sorted columnar
+batches -> buffered parquet sink, ``bids2table/crawler.py:90-136`` +
+``writer.py:57-110``; re-expressed Spark-first):
+
+    df -> with_group (salted, broadcast join)
+       -> groupBy(pt, grp).applyInPandas(encode_group)   # ONE shuffle
+       -> block rows (pt, grp, block_id, column, codec, payload, ...)
+
+Inside each group the rows are sorted by the key columns (the reference
+sorts every finalized batch, ``bids2table/table.py:122-125`` — here it is
+what makes RLE/delta effective and defines the stable decode order), then
+chunked into blocks of ``block_rows`` and encoded column-by-column with
+numpy kernels.  No per-row Python anywhere: the group arrives as Arrow,
+kernels are vectorized, and the output is a small frame of binary cells.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+import pandas as pd
+
+from .blocks import BLOCKS_SCHEMA_DDL, encode_block, spark_field_phys
+from .partitioning import DEFAULT_GROUP_ROWS, salt_plan, with_group
+from .selector import choose_codec_local
+
+DEFAULT_BLOCK_ROWS = 65_536
+
+BLOCKS_DDL_WITH_IDX = BLOCKS_SCHEMA_DDL.replace(
+    "column string", "column string, col_idx int"
+)
+
+
+def make_encode_fn(
+    columns: list[tuple[str, str]],
+    sort_cols: list[str],
+    plan: Mapping[str, str] | None,
+    block_rows: int,
+) -> Callable:
+    """Build the applyInPandas group encoder.
+
+    ``columns`` = [(name, phys)], ``plan`` maps column (or ``pt/column``) to a
+    codec name; columns absent from the plan fall back to a local stats-based
+    choice per block (selector.choose_codec_local).
+    """
+
+    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pt, grp = str(key[0]), str(key[1])
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        rows = []
+        n = len(pdf)
+        for b, lo in enumerate(range(0, n, block_rows)):
+            chunk = pdf.iloc[lo : lo + block_rows]
+            for ci, (col, phys) in enumerate(columns):
+                codec = None
+                if plan:
+                    codec = plan.get(f"{pt}/{col}") or plan.get(col)
+                if codec is None:
+                    codec = choose_codec_local(chunk[col], phys)
+                row = encode_block(pt, grp, b, col, chunk[col], phys, codec)
+                row["col_idx"] = ci
+                rows.append(row)
+        cols_order = [
+            "pt", "grp", "block_id", "column", "col_idx", "codec", "phys",
+            "n_rows", "n_nulls", "meta", "payload", "orig_bytes", "enc_bytes",
+            "checksum",
+        ]
+        return pd.DataFrame(rows, columns=cols_order)
+
+    return encode_group
+
+
+def encode_table(
+    df,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    pt_col: str = "pt",
+    conv_col: str = "conv_id",
+    plan: Mapping[str, str] | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    target_group_rows: int = DEFAULT_GROUP_ROWS,
+    splan=None,
+):
+    """Encode every data column of ``df`` into block rows.
+
+    ``df`` must contain ``pt_col``; all other columns are encoded.  Returns a
+    DataFrame with BLOCKS_DDL_WITH_IDX schema.  ``splan`` lets callers reuse a
+    precomputed salt plan (it is also the resume granularity, so reusing it
+    keeps groups stable across runs).
+    """
+    data_fields = [f for f in df.schema.fields if f.name != pt_col]
+    columns = [(f.name, spark_field_phys(f.dataType)) for f in data_fields]
+    if splan is None:
+        splan = salt_plan(df, pt_col=pt_col, target_group_rows=target_group_rows)
+    grouped = with_group(df, splan, pt_col=pt_col, conv_col=conv_col)
+    fn = make_encode_fn(columns, list(key_cols), plan, block_rows)
+    return grouped.groupBy(pt_col, "grp").applyInPandas(fn, BLOCKS_DDL_WITH_IDX)

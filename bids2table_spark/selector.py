@@ -1,0 +1,150 @@
+"""Codec auto-selection: a cost model over sampled column statistics.
+
+Two tiers (north rule: "per-partition cost-model auto-selector that samples
+column statistics (NDV, run length, byte entropy)"):
+
+* :func:`build_plan` — consumes the per-(pt, column) stats frame produced by
+  :mod:`stats` (one Arrow-vectorized sampling pass over the table) and emits
+  ``{"pt/column": codec}``, the plan shipped to every encode task.
+* :func:`choose_codec_local` — fallback used inside the encode UDF for
+  columns/partitions missing from the plan; same cost model computed on the
+  block itself (data is already in memory there, so the estimates are exact).
+
+Estimates are bytes-per-block approximations of each kernel's layout — they
+only need to rank codecs correctly, not predict exact sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .codecs.base import strings_to_buf
+from .codecs.bitpack import bit_width, zigzag
+
+
+def _int_stats(vals: np.ndarray) -> dict:
+    n = len(vals)
+    if n == 0:
+        return {"n": 0}
+    vmin, vmax = int(vals.min()), int(vals.max())
+    w_for = bit_width(vmax - vmin)  # python ints: exact for any int64 range
+    if n > 1:
+        d = (vals[1:].view(np.uint64) - vals[:-1].view(np.uint64)).view(np.int64)
+        g = 0
+        if not (d == np.iinfo(np.int64).min).any():
+            g = int(np.gcd.reduce(np.abs(d), initial=0))
+        dd = d // g if g > 1 else d
+        w_delta = bit_width(int(zigzag(dd).max()))
+        runs = int((vals[1:] != vals[:-1]).sum()) + 1
+    else:
+        w_delta, runs = 0, 1
+    ndv = len(np.unique(vals)) if n <= 65536 else min(n, len(np.unique(vals[:: max(1, n // 65536)])) * 4)
+    return {"n": n, "w_for": w_for, "w_delta": w_delta, "runs": runs, "ndv": ndv}
+
+
+def estimate_int_sizes(vals: np.ndarray) -> dict[str, float]:
+    s = _int_stats(np.ascontiguousarray(vals, dtype=np.int64))
+    n = s["n"]
+    if n == 0:
+        return {"forbp": 0.0}
+    w_runs = bit_width(n)
+    out = {
+        "plain": 8.0 * n,
+        "forbp": s["w_for"] * n / 8 + 32,
+        "delta": s["w_delta"] * (n - 1) / 8 + 48,
+        "rle": s["runs"] * (s["w_for"] + w_runs) / 8 + 64,
+        "dict": s["ndv"] * 8 + bit_width(max(s["ndv"] - 1, 0)) * n / 8 + 64,
+    }
+    return out
+
+
+def byte_entropy(buf: np.ndarray) -> float:
+    """Shannon entropy (bits/byte) of a uint8 buffer."""
+    if len(buf) == 0:
+        return 0.0
+    counts = np.bincount(buf, minlength=256)
+    p = counts[counts > 0] / len(buf)
+    return float(-(p * np.log2(p)).sum())
+
+
+def estimate_str_sizes(series: pd.Series) -> dict[str, float]:
+    import pyarrow as pa
+
+    vals = series.dropna()
+    n = len(vals)
+    if n == 0:
+        return {"plain": 0.0}
+    arr = pa.Array.from_pandas(vals).cast(pa.large_string())
+    d = arr.dictionary_encode()
+    ndv = len(d.dictionary)
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    runs = int((codes[1:] != codes[:-1]).sum()) + 1 if n > 1 else 1
+    offsets, buf = strings_to_buf(arr)
+    total = float(len(buf))
+    dict_bytes = total * ndv / max(n, 1) + 8 * ndv  # unique payload + offsets
+    code_bits = bit_width(max(ndv - 1, 0))
+    ent = byte_entropy(np.frombuffer(buf[:65536], dtype=np.uint8))
+    # FSST ratio estimate from entropy: near-random bytes (8 bits) -> ~1.0,
+    # low-entropy text (~4.2 bits) -> ~0.35; floor at 0.25
+    fsst_ratio = max(0.25, min(1.05, ent / 8.0 * 1.6 - 0.35))
+    out = {
+        "plain": total + 2.0 * n,
+        "dict": dict_bytes + code_bits * n / 8 + 64,
+        "rle": dict_bytes + runs * (code_bits + bit_width(n)) / 8 + 64,
+        "fsst": total * fsst_ratio + 2.0 * n + 2048,
+    }
+    return out
+
+
+def choose_codec_local(series: pd.Series, phys: str) -> str:
+    """Cost-model pick for one block (exact stats, data already in memory)."""
+    if phys in ("int", "long", "timestamp"):
+        v = series.dropna()
+        if phys == "timestamp":
+            vals = pd.to_datetime(v).astype("datetime64[ns]").astype(np.int64).to_numpy()
+        else:
+            vals = v.to_numpy(dtype=np.int64, na_value=0) if v.dtype.kind == "f" else v.to_numpy().astype(np.int64)
+        est = estimate_int_sizes(vals)
+    elif phys == "string":
+        est = estimate_str_sizes(series)
+    else:  # double: only plain implemented
+        return "plain"
+    return min(est.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
+
+def build_plan(stats_pdf: pd.DataFrame) -> dict[str, str]:
+    """Global plan from the stats pass: {"pt/column": codec}.
+
+    ``stats_pdf`` columns: pt, column, phys, n, ndv, runs, w_for, w_delta,
+    total_bytes, entropy, fsst_sample_ratio (see stats.py).
+    """
+    plan: dict[str, str] = {}
+    for _, r in stats_pdf.iterrows():
+        n = max(int(r["n"]), 1)
+        phys = r["phys"]
+        if phys in ("int", "long", "timestamp"):
+            w_runs = bit_width(n)
+            est = {
+                "plain": 8.0 * n,
+                "forbp": r["w_for"] * n / 8 + 32,
+                "delta": r["w_delta"] * n / 8 + 48,
+                "rle": r["runs"] * (r["w_for"] + w_runs) / 8 + 64,
+            }
+        elif phys == "string":
+            ndv, total = float(r["ndv"]), float(r["total_bytes"])
+            code_bits = bit_width(max(int(ndv) - 1, 0))
+            dict_bytes = total * ndv / n + 8 * ndv
+            ratio = float(r.get("fsst_sample_ratio") or 0.0)
+            if not ratio:
+                ratio = max(0.25, min(1.05, float(r["entropy"]) / 8.0 * 1.6 - 0.35))
+            est = {
+                "plain": total + 2.0 * n,
+                "dict": dict_bytes + code_bits * n / 8 + 64,
+                "rle": dict_bytes + float(r["runs"]) * (code_bits + bit_width(n)) / 8 + 64,
+                "fsst": total * ratio + 2.0 * n + 2048,
+            }
+        else:
+            est = {"plain": 0.0}
+        plan[f"{r['pt']}/{r['column']}"] = min(est.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    return plan

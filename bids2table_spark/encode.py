@@ -89,10 +89,21 @@ def encode_table(
     precomputed salt plan (it is also the resume granularity, so reusing it
     keeps groups stable across runs).
     """
-    data_fields = [f for f in df.schema.fields if f.name != pt_col]
-    columns = [(f.name, spark_field_phys(f.dataType)) for f in data_fields]
     if splan is None:
         splan = salt_plan(df, pt_col=pt_col, target_group_rows=target_group_rows)
     grouped = with_group(df, splan, pt_col=pt_col, conv_col=conv_col)
+    return encode_grouped(grouped, key_cols=key_cols, pt_col=pt_col, plan=plan, block_rows=block_rows)
+
+
+def encode_grouped(
+    grouped,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    pt_col: str = "pt",
+    plan: Mapping[str, str] | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+):
+    """Encode a DataFrame that already carries the ``grp`` salt column."""
+    data_fields = [f for f in grouped.schema.fields if f.name not in (pt_col, "grp")]
+    columns = [(f.name, spark_field_phys(f.dataType)) for f in data_fields]
     fn = make_encode_fn(columns, list(key_cols), plan, block_rows)
     return grouped.groupBy(pt_col, "grp").applyInPandas(fn, BLOCKS_DDL_WITH_IDX)

@@ -1,0 +1,56 @@
+"""Selector tests: stats -> expected codec choice per column shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bids2table_spark.selector import choose_codec_local, estimate_int_sizes, estimate_str_sizes
+from bids2table_spark.stats import plan_from_stats
+from bids2table_spark.synth import synth_transcripts
+
+
+def test_local_choices():
+    # long sorted runs of few values -> rle
+    role_runs = pd.Series(["user"] * 400 + ["assistant"] * 400 + ["tool"] * 200)
+    assert choose_codec_local(role_runs, "string") == "rle"
+    # low NDV, alternating (no runs) -> dict
+    alt = pd.Series(["user", "assistant"] * 500)
+    assert choose_codec_local(alt, "string") == "dict"
+    # distinct long text -> fsst
+    text = pd.Series([f"the quick brown fox {i} jumps over the lazy dog" for i in range(800)])
+    assert choose_codec_local(text, "string") == "fsst"
+    # second-granular monotone timestamps -> delta
+    ts = pd.Series(pd.to_datetime(1_700_000_000 + np.cumsum(np.random.default_rng(0).integers(1, 300, 1000)), unit="s"))
+    assert choose_codec_local(ts, "timestamp") == "delta"
+    # small-range ints -> forbp or rle beats plain
+    small = pd.Series(np.arange(1000) % 128)
+    assert choose_codec_local(small, "int") in ("forbp", "delta", "rle")
+
+
+def test_size_estimates_rank_sanely():
+    vals = np.repeat(np.arange(10), 100).astype(np.int64)  # long runs
+    est = estimate_int_sizes(vals)
+    assert est["rle"] < est["plain"] and est["forbp"] < est["plain"]
+    s = estimate_str_sizes(pd.Series(["abc"] * 500 + ["defg"] * 500))
+    assert s["dict"] < s["plain"] and s["rle"] < s["dict"]
+
+
+def test_plan_from_stats_spark(spark):
+    df = synth_transcripts(spark, n_conv=200, seed=42, n_pt=2).cache()
+    plan = plan_from_stats(df, fraction=0.5)
+    # keys are pt/column
+    cols = {k.split("/", 1)[1] for k in plan}
+    assert cols == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    by_col = {}
+    for k, v in plan.items():
+        by_col.setdefault(k.split("/", 1)[1], set()).add(v)
+    # conv_id sorts into long runs -> rle everywhere
+    assert by_col["conv_id"] == {"rle"}
+    # ts is near-monotone within conv -> delta
+    assert by_col["ts"] == {"delta"}
+    # role is low-NDV -> dict or rle
+    assert by_col["role"] <= {"dict", "rle"}
+    # text is high-entropy-ish templated NL -> fsst (or dict if very repetitive)
+    assert by_col["text"] <= {"fsst", "dict"}

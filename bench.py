@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the transcript encode
+benchmark, and print ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--encode-only N_CONV : run only the synthetic-transcript encode benchmark and
+    print its JSON (used by --scaling subprocesses).
+--scaling : run the encode benchmark at two parallelism levels (local[8] and
+    local[32]) in separate processes and append the results + scaling
+    efficiency to BENCH/BASELINE.md (the sandbox proxy for N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "transcript_roundtrip",
+    "transcript_codec_stats",
+    "key_merge_outer",
+    "dedup_keep_last",
+    "run_length_sql",
+    "delta_stats_sql",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk",
+    "quality_score",
+    "token_counts",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _noop_write(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def encode_bench(spark, n_conv: int) -> dict:
+    """Deterministic synthetic transcripts -> resumable encode job; report
+    turns/sec and bytes/turn vs a Parquet+zstd baseline of the same table."""
+    from bids2table_spark.manifest import encode_job
+    from bids2table_spark.stats import plan_from_stats
+    from bids2table_spark.synth import synth_transcripts
+
+    tr = synth_transcripts(spark, n_conv=n_conv, seed=42, n_pt=8)
+    tr = tr.cache()
+    n_rows = tr.count()  # materialize input outside the timed window
+
+    with tempfile.TemporaryDirectory(prefix="b2t_bench_") as tmp:
+        t0 = time.time()
+        plan = plan_from_stats(tr, fraction=0.05)
+        summary = encode_job(spark, tr, f"{tmp}/enc", run_id="bench", plan=plan)
+        encode_s = time.time() - t0
+
+        # reference compressed size: same table as Parquet+zstd
+        t1 = time.time()
+        tr.write.mode("overwrite").option("compression", "zstd").parquet(f"{tmp}/ref")
+        ref_parquet_s = time.time() - t1
+        ref_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(f"{tmp}/ref")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        enc_disk_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(f"{tmp}/enc/blocks")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    tr.unpersist()
+    return {
+        "n_conv": n_conv,
+        "n_turns": n_rows,
+        "encode_sec": round(encode_s, 3),
+        "turns_per_sec": round(n_rows / encode_s, 1),
+        "payload_bytes": summary["enc_bytes"],
+        "orig_bytes": summary["orig_bytes"],
+        "enc_disk_bytes": enc_disk_bytes,
+        "ref_zstd_bytes": ref_bytes,
+        "bytes_per_turn": round(enc_disk_bytes / max(n_rows, 1), 2),
+        "ref_bytes_per_turn": round(ref_bytes / max(n_rows, 1), 2),
+        "vs_ref_ratio": round(enc_disk_bytes / max(ref_bytes, 1), 3),
+        "ref_parquet_write_sec": round(ref_parquet_s, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    from bids2table_spark.session import get_spark
+
+    spark = get_spark(app="b2t-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    if "--encode-only" in sys.argv:
+        n_conv = int(sys.argv[sys.argv.index("--encode-only") + 1])
+        print(json.dumps({"cpus": cpus, **encode_bench(spark, n_conv)}))
+        return
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _noop_write(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    sf = _sf_of(sf_dir)
+    n_conv = max(2000, int(200_000 * sf))
+    enc = encode_bench(spark, n_conv)
+    times["transcript_encode"] = enc["encode_sec"]
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_encode_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "encode": enc,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+def run_scaling() -> None:
+    """Encode benchmark at two parallelism levels -> BENCH/BASELINE.md."""
+    n_conv = int(os.environ.get("B2T_SCALING_CONV", "20000"))
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--encode-only", str(n_conv)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["turns_per_sec"]
+    t32 = results[32]["turns_per_sec"]
+    eff = (t32 / t8) / 4.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(
+            "# BENCH/BASELINE — encode throughput & scaling efficiency\n\n"
+            "Same deterministic synthetic transcript table (seed 42, "
+            f"{n_conv} conversations, {results[32]['n_turns']} turns) encoded by the "
+            "same resumable job at two parallelism levels (sandbox proxy for N vs "
+            "4N executors per BASELINE.json north rule).\n\n"
+            "| cores | encode sec | turns/sec | bytes/turn (ours) | bytes/turn (parquet+zstd ref) | ours/ref |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for cpus in (8, 32):
+            r = results[cpus]
+            f.write(
+                f"| local[{cpus}] | {r['encode_sec']} | {r['turns_per_sec']} | "
+                f"{r['bytes_per_turn']} | {r['ref_bytes_per_turn']} | {r['vs_ref_ratio']} |\n"
+            )
+        f.write(
+            f"\n**Scaling efficiency (8 -> 32 cores): {eff:.3f}** "
+            f"(target >= 0.8 per north rule; efficiency = (T_4N/T_N)/4).\n\n"
+            f"Compressed size target: bytes/turn <= Parquet+zstd reference — "
+            f"ratio ours/ref = {results[32]['vs_ref_ratio']} "
+            f"({'MET' if results[32]['vs_ref_ratio'] <= 1.0 else 'NOT MET'}).\n"
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3), "results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,7 @@ PHYS_STRING = "string"
 PHYS_INT = "int"
 PHYS_LONG = "long"
 PHYS_TS = "timestamp"
+PHYS_TS_NTZ = "timestamp_ntz"
 PHYS_DOUBLE = "double"
 
 PHYS_TO_LOGICAL = {
@@ -48,6 +49,7 @@ PHYS_TO_LOGICAL = {
     PHYS_INT: DTYPE_I64,
     PHYS_LONG: DTYPE_I64,
     PHYS_TS: DTYPE_I64,
+    PHYS_TS_NTZ: DTYPE_I64,
     PHYS_DOUBLE: DTYPE_F64,
 }
 
@@ -70,6 +72,8 @@ def spark_field_phys(dt) -> str:
         return PHYS_LONG
     if isinstance(dt, T.TimestampType):
         return PHYS_TS
+    if isinstance(dt, T.TimestampNTZType):
+        return PHYS_TS_NTZ
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return PHYS_DOUBLE
     raise TypeError(f"unsupported column type for encoding: {dt}")
@@ -78,7 +82,7 @@ def spark_field_phys(dt) -> str:
 def _to_kernel(series: pd.Series, phys: str) -> tuple[np.ndarray | pd.Series, np.ndarray]:
     """(valid_values_for_kernel, validity_mask). Timestamps -> epoch ns."""
     mask = series.notna().to_numpy()
-    if phys == PHYS_TS:
+    if phys in (PHYS_TS, PHYS_TS_NTZ):
         vals = pd.to_datetime(series).astype("datetime64[ns]").astype(np.int64).to_numpy()
         return vals[mask], mask
     if phys in (PHYS_INT, PHYS_LONG):
@@ -194,7 +198,7 @@ def _to_arrow(valid, mask: np.ndarray, phys: str) -> pa.Array:
     full = np.zeros(n, dtype=vals.dtype if len(vals) else np.int64)
     full[mask] = vals
     null_mask = None if all_valid else ~mask
-    if phys == PHYS_TS:
+    if phys in (PHYS_TS, PHYS_TS_NTZ):
         return pa.array(full.view("datetime64[ns]"), type=pa.timestamp("ns"), mask=null_mask)
     if phys == PHYS_INT:
         return pa.array(full.astype(np.int32), type=pa.int32(), mask=null_mask)

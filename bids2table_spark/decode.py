@@ -17,6 +17,7 @@ _PHYS_TO_DDL = {
     "int": "int",
     "long": "long",
     "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
     "double": "double",
 }
 

@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines over ``documents``:
+language-ID (stopword-marker heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprinting.
+All built-in-expression only (JVM-side); each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# three high-frequency marker words per language; deterministic argmax with
+# alphabetical tie-break
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "nicht"],
+    "en": ["the", "and", "of"],
+    "es": ["que", "los", "una"],
+    "fr": ["les", "est", "une"],
+}
+
+
+def _tok(col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Predicted language = argmax over marker-word hit counts (ties ->
+    alphabetically first; no hits -> 'und')."""
+    toks = _tok()
+
+    def eq_word(w: str):
+        return lambda t: t == w
+
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        score = None
+        for wrd in LANG_MARKERS[lang]:
+            hit = F.size(F.filter(toks, eq_word(wrd)))
+            score = hit if score is None else score + hit
+        scores.append((lang, score))
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, score in reversed(scores):  # earlier langs win ties
+        pred = F.when((score == best_score) & (best_score > 0), lang).otherwise(pred)
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality: length, punctuation ratio, stopword ratio,
+    uppercase ratio — rounded to 4 dp for oracle parity."""
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    n_upper = F.length(F.regexp_replace("text", r"[^A-Z]", ""))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    toks = _tok()
+    n_tokens = F.when(F.length(F.trim(F.col("text"))) == 0, 0).otherwise(F.size(toks))
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "a", "to", "in", "is"))
+    )
+    stop_ratio = F.when(n_tokens > 0, stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_alpha > 0, n_upper / n_alpha).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.1) * (1 - upper_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (regex pieces:
+    word fragments of <=4 chars, digits, punctuation runs)."""
+    ws = F.when(F.length(F.trim(F.col("text"))) == 0, 0).otherwise(
+        F.size(_tok())
+    ).cast("long")
+    # BPE-ish: count pieces matched by the tokenizer-style regex
+    pieces = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]")
+    ).cast("long")
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), pieces.alias("bpe_tokens")
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Winnowing-lite document fingerprint: lexicographic min of md5 over all
+    character k-grams (k=8) — a deterministic near-dup key."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"case when length(text) >= {k} then "
+            f"array_min(transform(sequence(1, length(text) - {k - 1}), "
+            f"i -> md5(substring(text, i, {k})))) "
+            f"else md5(text) end"
+        ).alias("fp"),
+    )

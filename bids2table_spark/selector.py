@@ -99,9 +99,9 @@ def estimate_str_sizes(series: pd.Series) -> dict[str, float]:
 
 def choose_codec_local(series: pd.Series, phys: str) -> str:
     """Cost-model pick for one block (exact stats, data already in memory)."""
-    if phys in ("int", "long", "timestamp"):
+    if phys in ("int", "long", "timestamp", "timestamp_ntz"):
         v = series.dropna()
-        if phys == "timestamp":
+        if phys.startswith("timestamp"):
             vals = pd.to_datetime(v).astype("datetime64[ns]").astype(np.int64).to_numpy()
         else:
             vals = v.to_numpy(dtype=np.int64, na_value=0) if v.dtype.kind == "f" else v.to_numpy().astype(np.int64)
@@ -123,7 +123,7 @@ def build_plan(stats_pdf: pd.DataFrame) -> dict[str, str]:
     for _, r in stats_pdf.iterrows():
         n = max(int(r["n"]), 1)
         phys = r["phys"]
-        if phys in ("int", "long", "timestamp"):
+        if phys in ("int", "long", "timestamp", "timestamp_ntz"):
             w_runs = bit_width(n)
             est = {
                 "plain": 8.0 * n,

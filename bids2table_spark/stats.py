@@ -41,8 +41,8 @@ def _col_stats(pt: str, name: str, phys: str, series: pd.Series) -> dict:
     valid = series.dropna()
     if len(valid) == 0:
         return out
-    if phys in ("int", "long", "timestamp"):
-        if phys == "timestamp":
+    if phys in ("int", "long", "timestamp", "timestamp_ntz"):
+        if phys.startswith("timestamp"):
             vals = pd.to_datetime(valid).astype("datetime64[ns]").astype(np.int64).to_numpy()
         else:
             vals = valid.to_numpy().astype(np.int64)

@@ -48,11 +48,43 @@ def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
     return (bits << shifts).sum(axis=1, dtype=_U64)
 
 
-def encode_u64(vals: np.ndarray, miniblock: int = MINIBLOCK) -> bytes:
-    """Self-contained FOR+bitpack encoding of a uint64 array.
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
 
-    Layout: ``[n:u64][mini:u32]`` then per miniblock ``[min:u64][width:u8]``
-    headers, then the concatenated packed bitstreams.
+
+def widths_of(vals: np.ndarray) -> np.ndarray:
+    """Exact bit_length per uint64 value (vectorized, no float log)."""
+    return np.searchsorted(_POW2, vals, side="right").astype(np.int64)
+
+
+def best_width(rel: np.ndarray) -> tuple[int, np.ndarray]:
+    """Patched-FOR width choice for one miniblock: pick the packing width w
+    minimizing ``count*w/8 + n_exceptions*(2+8)`` bytes; values needing more
+    than w bits become (pos:u16, val:u64) exceptions.  Returns (w, exc_idx).
+    """
+    bw = widths_of(rel)
+    counts = np.bincount(bw, minlength=65)
+    above = counts[::-1].cumsum()[::-1]  # above[w] = #values with bw > w-1? see below
+    # n_exc(w) = #values with bw > w  = sum counts[w+1:]
+    n = len(rel)
+    best_w, best_cost = 64, float("inf")
+    max_w = int(bw.max()) if n else 0
+    for w in range(max_w + 1):
+        n_exc = int(above[w + 1]) if w + 1 <= 64 else 0
+        cost = n * w / 8 + n_exc * 10
+        if cost < best_cost:
+            best_w, best_cost = w, cost
+    exc = np.flatnonzero(bw > best_w)
+    return best_w, exc
+
+
+def encode_u64(vals: np.ndarray, miniblock: int = MINIBLOCK) -> bytes:
+    """Self-contained patched-FOR + bitpack encoding of a uint64 array.
+
+    Layout: ``[n:u64][mini:u32]`` then per miniblock
+    ``[min:u64][width:u8][n_exc:u16]`` headers, then the packed bitstreams,
+    then exception positions (u16) and raw exception values (u64).
+    A handful of outliers (e.g. conversation-boundary deltas) no longer
+    widen the whole miniblock — the PFoR idea (Zukowski et al., ICDE 2006).
     """
     vals = np.ascontiguousarray(vals, dtype=_U64)
     n = len(vals)
@@ -62,18 +94,31 @@ def encode_u64(vals: np.ndarray, miniblock: int = MINIBLOCK) -> bytes:
     n_mini = (n + miniblock - 1) // miniblock
     mins = np.empty(n_mini, dtype=_U64)
     widths = np.empty(n_mini, dtype=np.uint8)
+    n_excs = np.empty(n_mini, dtype=np.uint16)
     bodies: list[bytes] = []
+    exc_pos: list[np.ndarray] = []
+    exc_val: list[np.ndarray] = []
     for m in range(n_mini):
         chunk = vals[m * miniblock : (m + 1) * miniblock]
         lo = chunk.min()
         rel = chunk - lo  # uint64 wraparound-safe
-        w = bit_width(int(rel.max()))
+        w, exc = best_width(rel)
         mins[m] = lo
         widths[m] = w
+        n_excs[m] = len(exc)
+        if len(exc):
+            exc_pos.append(exc.astype(np.uint16))
+            exc_val.append(rel[exc])
+            rel = rel.copy()
+            rel[exc] = 0
         bodies.append(pack_bits(rel, w))
     out.append(mins.tobytes())
     out.append(widths.tobytes())
+    out.append(n_excs.tobytes())
     out.extend(bodies)
+    if exc_pos:
+        out.append(np.concatenate(exc_pos).tobytes())
+        out.append(np.concatenate(exc_val).tobytes())
     return b"".join(out)
 
 
@@ -88,6 +133,8 @@ def decode_u64(buf: bytes) -> np.ndarray:
     off += 8 * n_mini
     widths = np.frombuffer(buf, dtype=np.uint8, count=n_mini, offset=off)
     off += n_mini
+    n_excs = np.frombuffer(buf, dtype=np.uint16, count=n_mini, offset=off)
+    off += 2 * n_mini
     out = np.empty(n, dtype=_U64)
     for m in range(n_mini):
         cnt = min(miniblock, n - m * miniblock)
@@ -96,6 +143,17 @@ def decode_u64(buf: bytes) -> np.ndarray:
         rel = unpack_bits(buf[off : off + nbytes], cnt, w)
         out[m * miniblock : m * miniblock + cnt] = rel + mins[m]
         off += nbytes
+    total_exc = int(n_excs.sum())
+    if total_exc:
+        pos = np.frombuffer(buf, dtype=np.uint16, count=total_exc, offset=off)
+        off += 2 * total_exc
+        vals_e = np.frombuffer(buf, dtype=_U64, count=total_exc, offset=off)
+        starts = np.concatenate(([0], np.cumsum(n_excs.astype(np.int64))))
+        for m in range(n_mini):
+            s, e = starts[m], starts[m + 1]
+            if e > s:
+                idx = m * miniblock + pos[s:e].astype(np.int64)
+                out[idx] = vals_e[s:e] + mins[m]
     return out
 
 

@@ -33,6 +33,32 @@ def factorize_block(values) -> tuple[np.ndarray, "object"]:
     return codes, d.dictionary
 
 
+def encode_uniques(uniques) -> tuple[dict, list[bytes]]:
+    """Dictionary-values payload: delta-packed offsets + utf8 blob, with the
+    blob cascade-compressed through FSST when that actually shrinks it
+    (cascaded lightweight encodings a la BtrBlocks)."""
+    from . import fsst
+
+    offsets, buf = strings_to_buf(uniques)
+    off_b = bp.encode_i64(offsets)
+    if len(buf) >= 2048:
+        fmeta, fsec = fsst.encode_bytes(buf)
+        if sum(len(s) for s in fsec) < len(buf) * 0.9:
+            return {"uniq_fsst": fmeta}, [off_b] + fsec
+    return {}, [off_b, buf]
+
+
+def decode_uniques(meta: dict, sections: list[bytes]):
+    from . import fsst
+
+    offsets = bp.decode_i64(sections[0])
+    if "uniq_fsst" in meta:
+        buf = fsst.decode_bytes(meta["uniq_fsst"], sections[1:4])
+    else:
+        buf = sections[1]
+    return buf_to_strings(offsets, buf)
+
+
 class DictCodec:
     name = "dict"
     dtypes = (DTYPE_STR, DTYPE_I64)
@@ -41,20 +67,20 @@ class DictCodec:
         codes, uniques = factorize_block(values)
         code_b = bp.encode_i64(codes)
         if dtype == DTYPE_STR:
-            offsets, buf = strings_to_buf(uniques)
-            lens, payload = pack_sections([code_b, bp.encode_i64(offsets), buf])
-        else:
-            uniq_np = uniques.to_numpy(zero_copy_only=False) if hasattr(uniques, "to_numpy") else uniques
-            lens, payload = pack_sections(
-                [code_b, bp.encode_i64(np.ascontiguousarray(uniq_np, dtype=np.int64))]
-            )
+            extra, usec = encode_uniques(uniques)
+            lens, payload = pack_sections([code_b] + usec)
+            return {"sections": lens, "ndv": int(len(uniques)), **extra}, payload
+        uniq_np = uniques.to_numpy(zero_copy_only=False) if hasattr(uniques, "to_numpy") else uniques
+        lens, payload = pack_sections(
+            [code_b, bp.encode_i64(np.ascontiguousarray(uniq_np, dtype=np.int64))]
+        )
         return {"sections": lens, "ndv": int(len(uniques))}, payload
 
     def decode(self, meta: dict, payload: bytes, n: int, dtype: str):
         parts = split_sections(meta["sections"], payload)
         codes = bp.decode_i64(parts[0])
         if dtype == DTYPE_STR:
-            uniques = buf_to_strings(bp.decode_i64(parts[1]), parts[2])
+            uniques = decode_uniques(meta, parts[1:])
             return uniques.take(codes)  # arrow take — vectorized
         uniques = bp.decode_i64(parts[1])
         return uniques[codes]

@@ -308,39 +308,44 @@ def decompress(stream: np.ndarray, table: _Table, out_len: int) -> np.ndarray:
     return out
 
 
+def encode_bytes(raw: bytes) -> tuple[dict, list[bytes]]:
+    """Compress one byte buffer; returns (meta, [symlens, symblob, stream]).
+    Reused by the dict/rle codecs to cascade-compress dictionary payloads."""
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    symbols = build_table(buf)
+    table = _Table(symbols)
+    stream = compress(buf, table)
+    sym_lens = np.array([len(s) for s in symbols], dtype=np.int64)
+    meta = {"n_symbols": len(symbols), "raw_bytes": int(len(buf))}
+    return meta, [bp.encode_i64(sym_lens), b"".join(symbols), stream.tobytes()]
+
+
+def decode_bytes(meta: dict, sections: list[bytes]) -> bytes:
+    symlen_b, sym_blob, stream_b = sections
+    sym_lens = bp.decode_i64(symlen_b)
+    symbols = []
+    o = 0
+    for ln in sym_lens.tolist():  # <=255 iterations
+        symbols.append(sym_blob[o : o + ln])
+        o += ln
+    table = _Table(symbols)
+    buf = decompress(
+        np.frombuffer(stream_b, dtype=np.uint8), table, int(meta["raw_bytes"])
+    )
+    return buf.tobytes()
+
+
 class FsstCodec:
     name = "fsst"
     dtypes = (DTYPE_STR,)
 
     def encode(self, values, dtype: str) -> tuple[dict, bytes]:
         offsets, raw = strings_to_buf(values)
-        buf = np.frombuffer(raw, dtype=np.uint8)
-        symbols = build_table(buf)
-        table = _Table(symbols)
-        stream = compress(buf, table)
-        sym_lens = np.array([len(s) for s in symbols], dtype=np.int64)
-        sym_blob = b"".join(symbols)
-        lens, payload = pack_sections(
-            [
-                bp.encode_i64(offsets),
-                bp.encode_i64(sym_lens),
-                sym_blob,
-                stream.tobytes(),
-            ]
-        )
-        return {"sections": lens, "n_symbols": len(symbols), "raw_bytes": int(len(buf))}, payload
+        fmeta, fsections = encode_bytes(raw)
+        lens, payload = pack_sections([bp.encode_i64(offsets)] + fsections)
+        return {"sections": lens, **fmeta}, payload
 
     def decode(self, meta: dict, payload: bytes, n: int, dtype: str):
-        off_b, symlen_b, sym_blob, stream_b = split_sections(meta["sections"], payload)
+        off_b, *fsections = split_sections(meta["sections"], payload)
         offsets = bp.decode_i64(off_b)
-        sym_lens = bp.decode_i64(symlen_b)
-        symbols = []
-        o = 0
-        for ln in sym_lens.tolist():  # <=255 iterations
-            symbols.append(sym_blob[o : o + ln])
-            o += ln
-        table = _Table(symbols)
-        buf = decompress(
-            np.frombuffer(stream_b, dtype=np.uint8), table, int(meta["raw_bytes"])
-        )
-        return buf_to_strings(offsets, buf.tobytes())
+        return buf_to_strings(offsets, decode_bytes(meta, fsections))

@@ -42,11 +42,14 @@ class RleCodec:
         run_vals = codes[idx]
         run_lens = np.diff(np.append(idx, len(codes)))
         sections = [bp.encode_i64(run_vals), bp.encode_i64(run_lens)]
+        extra: dict = {}
         if dtype == DTYPE_STR:
-            offsets, buf = strings_to_buf(uniques)
-            sections += [bp.encode_i64(offsets), buf]
+            from .dictionary import encode_uniques
+
+            extra, usec = encode_uniques(uniques)
+            sections += usec
         lens, payload = pack_sections(sections)
-        return {"sections": lens, "n_runs": int(len(idx))}, payload
+        return {"sections": lens, "n_runs": int(len(idx)), **extra}, payload
 
     def decode(self, meta: dict, payload: bytes, n: int, dtype: str):
         parts = split_sections(meta["sections"], payload)
@@ -54,6 +57,8 @@ class RleCodec:
         run_lens = bp.decode_i64(parts[1])
         codes = np.repeat(run_vals, run_lens)
         if dtype == DTYPE_STR:
-            uniques = buf_to_strings(bp.decode_i64(parts[2]), parts[3])
+            from .dictionary import decode_uniques
+
+            uniques = decode_uniques(meta, parts[2:])
             return uniques.take(codes)
         return codes

@@ -98,7 +98,9 @@ def encode_job(
     ).withColumn("run_id", F.lit(run_id))
 
     # 1) durable blocks first …
-    blocks.write.mode("append").partitionBy(pt_col).parquet(bpath)
+    blocks.write.mode("append").partitionBy(pt_col).option(
+        "compression", "zstd"
+    ).parquet(bpath)
 
     # 2) … then manifest rows derived from what actually landed on disk
     written = spark.read.parquet(bpath).filter(F.col("run_id") == run_id)

@@ -88,10 +88,13 @@ def estimate_str_sizes(series: pd.Series) -> dict[str, float]:
     # FSST ratio estimate from entropy: near-random bytes (8 bits) -> ~1.0,
     # low-entropy text (~4.2 bits) -> ~0.35; floor at 0.25
     fsst_ratio = max(0.25, min(1.05, ent / 8.0 * 1.6 - 0.35))
+    # dict/rle cascade the uniques blob through FSST, so their dictionary
+    # cost shrinks by the same ratio
+    uniq_bytes = total * ndv / max(n, 1) * min(1.0, fsst_ratio) + 8 * ndv
     out = {
         "plain": total + 2.0 * n,
-        "dict": dict_bytes + code_bits * n / 8 + 64,
-        "rle": dict_bytes + runs * (code_bits + bit_width(n)) / 8 + 64,
+        "dict": uniq_bytes + code_bits * n / 8 + 64,
+        "rle": uniq_bytes + runs * (code_bits + bit_width(n)) / 8 + 64,
         "fsst": total * fsst_ratio + 2.0 * n + 2048,
     }
     return out
@@ -138,10 +141,11 @@ def build_plan(stats_pdf: pd.DataFrame) -> dict[str, str]:
             ratio = float(r.get("fsst_sample_ratio") or 0.0)
             if not ratio:
                 ratio = max(0.25, min(1.05, float(r["entropy"]) / 8.0 * 1.6 - 0.35))
+            uniq_bytes = total * ndv / n * min(1.0, ratio) + 8 * ndv
             est = {
                 "plain": total + 2.0 * n,
-                "dict": dict_bytes + code_bits * n / 8 + 64,
-                "rle": dict_bytes + float(r["runs"]) * (code_bits + bit_width(n)) / 8 + 64,
+                "dict": uniq_bytes + code_bits * n / 8 + 64,
+                "rle": uniq_bytes + float(r["runs"]) * (code_bits + bit_width(n)) / 8 + 64,
                 "fsst": total * ratio + 2.0 * n + 2048,
             }
         else:

@@ -53,7 +53,7 @@ def _noop_write(df) -> int:
     return 0
 
 
-def encode_bench(spark, n_conv: int) -> dict:
+def encode_bench(spark, n_conv: int, group_rows: int | None = None) -> dict:
     """Deterministic synthetic transcripts -> resumable encode job; report
     turns/sec and bytes/turn vs a Parquet+zstd baseline of the same table."""
     from bids2table_spark.manifest import encode_job
@@ -65,9 +65,10 @@ def encode_bench(spark, n_conv: int) -> dict:
     n_rows = tr.count()  # materialize input outside the timed window
 
     with tempfile.TemporaryDirectory(prefix="b2t_bench_") as tmp:
+        kw = {"target_group_rows": group_rows} if group_rows else {}
         t0 = time.time()
         plan = plan_from_stats(tr, fraction=0.05)
-        summary = encode_job(spark, tr, f"{tmp}/enc", run_id="bench", plan=plan)
+        summary = encode_job(spark, tr, f"{tmp}/enc", run_id="bench", plan=plan, **kw)
         encode_s = time.time() - t0
 
         # reference compressed size: same table as Parquet+zstd
@@ -117,7 +118,8 @@ def main() -> None:
 
     if "--encode-only" in sys.argv:
         n_conv = int(sys.argv[sys.argv.index("--encode-only") + 1])
-        print(json.dumps({"cpus": cpus, **encode_bench(spark, n_conv)}))
+        group_rows = int(os.environ.get("B2T_GROUP_ROWS", "0")) or None
+        print(json.dumps({"cpus": cpus, **encode_bench(spark, n_conv, group_rows)}))
         return
 
     import __spark_entry__ as entry_mod
@@ -152,10 +154,12 @@ def main() -> None:
 
 def run_scaling() -> None:
     """Encode benchmark at two parallelism levels -> BENCH/BASELINE.md."""
-    n_conv = int(os.environ.get("B2T_SCALING_CONV", "20000"))
+    n_conv = int(os.environ.get("B2T_SCALING_CONV", "100000"))
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        # pin the group layout so both parallelism levels encode identical
+        # work units; only the core count differs
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), B2T_GROUP_ROWS="32768")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--encode-only", str(n_conv)],
             env=env,

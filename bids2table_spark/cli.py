@@ -1,0 +1,96 @@
+"""spark-submit entry point (north rule: ships as ``spark-submit
+--py-files`` modules).
+
+    spark-submit --py-files b2t_spark.zip -m ... OR
+    spark-submit cli.py synth   --out /data/transcripts --n-conv 100000
+    spark-submit cli.py encode  --input /data/transcripts --out /data/encoded
+    spark-submit cli.py decode  --input /data/encoded --out /data/roundtrip
+    spark-submit cli.py verify  --input /data/transcripts --encoded /data/encoded
+
+Mirrors the reference CLI shape (``bids2table -c mriqc ...``,
+``bids2table/__main__.py:34-96``): compose a plan, optionally print it
+(--print-only = EXPLAIN), execute.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bids2table_spark")
+    p.add_argument("command", choices=["synth", "encode", "decode", "verify"])
+    p.add_argument("--input", help="input table: parquet path or iceberg name")
+    p.add_argument("--out", required=True)
+    p.add_argument("--encoded", help="encoded dir (verify)")
+    p.add_argument("--n-conv", type=int, default=10_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--block-rows", type=int, default=65_536)
+    p.add_argument("--group-rows", type=int, default=262_144)
+    p.add_argument("--sample-fraction", type=float, default=0.05)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--print-only", action="store_true", help="print the plan and exit")
+    args = p.parse_args(argv)
+
+    from bids2table_spark import (
+        decode_job,
+        encode_job,
+        get_spark,
+        plan_from_stats,
+        synth_transcripts,
+    )
+    from bids2table_spark.plans import codec_plan_str
+    from bids2table_spark.sources import read_table
+
+    spark = get_spark(app=f"b2t-{args.command}")
+
+    if args.command == "synth":
+        df = synth_transcripts(spark, n_conv=args.n_conv, seed=args.seed)
+        if args.print_only:
+            df.explain("formatted")
+            return 0
+        df.write.mode("overwrite").partitionBy("pt").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+        return 0
+
+    if args.command == "encode":
+        df = read_table(spark, args.input)
+        plan = plan_from_stats(df, fraction=args.sample_fraction)
+        if args.print_only:
+            print(codec_plan_str(plan))
+            df.explain("formatted")
+            return 0
+        summary = encode_job(
+            spark, df, args.out,
+            run_id=args.run_id, plan=plan,
+            block_rows=args.block_rows, target_group_rows=args.group_rows,
+            resume=not args.no_resume,
+        )
+        print(json.dumps(summary))
+        return 0
+
+    if args.command == "decode":
+        out = decode_job(spark, args.input)
+        if args.print_only:
+            out.explain("formatted")
+            return 0
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+        return 0
+
+    # verify: decoded(encoded) must equal input exactly under the key sort
+    df = read_table(spark, args.input).drop("grp")
+    dec = decode_job(spark, args.encoded or args.out)
+    cols = df.columns
+    a = df.select(cols).exceptAll(dec.select(cols))
+    b = dec.select(cols).exceptAll(df.select(cols))
+    bad = a.count() + b.count()
+    print(json.dumps({"mismatched_rows": bad, "ok": bad == 0}))
+    return 0 if bad == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

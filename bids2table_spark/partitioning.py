@@ -17,19 +17,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_GROUP_ROWS = 262_144
+MIN_GROUP_ROWS = 32_768
 
 
-def salt_plan(df: DataFrame, pt_col: str = "pt", target_group_rows: int = DEFAULT_GROUP_ROWS) -> DataFrame:
-    """rows-per-pt pre-pass -> (pt, n_salts). Hot pts get more buckets."""
-    return (
-        df.groupBy(pt_col)
-        .count()
-        .select(
-            F.col(pt_col),
-            F.greatest(
-                F.lit(1), F.ceil(F.col("count") / F.lit(target_group_rows))
-            ).cast("int").alias("n_salts"),
-        )
+def adaptive_group_rows(total_rows: int, parallelism: int, target_group_rows: int = DEFAULT_GROUP_ROWS) -> int:
+    """Cap the group size so there are at least ~4 groups per core — on a
+    small input the fixed 256k target would leave most of the cluster idle;
+    at 10^12 rows the cap never binds and the 256k memory bound governs."""
+    per_core_target = max(MIN_GROUP_ROWS, total_rows // max(4 * parallelism, 1))
+    return min(target_group_rows, per_core_target)
+
+
+def salt_plan(df: DataFrame, pt_col: str = "pt", target_group_rows: int | None = DEFAULT_GROUP_ROWS) -> DataFrame:
+    """rows-per-pt pre-pass -> (pt, n_salts). Hot pts get more buckets; the
+    group-size target adapts to cluster parallelism (see adaptive_group_rows).
+    """
+    counts = df.groupBy(pt_col).count()
+    if target_group_rows is None:
+        target_group_rows = DEFAULT_GROUP_ROWS
+    spark = df.sparkSession
+    total = counts.agg(F.sum("count")).collect()[0][0] or 0
+    target = adaptive_group_rows(
+        int(total), spark.sparkContext.defaultParallelism, target_group_rows
+    )
+    return counts.select(
+        F.col(pt_col),
+        F.greatest(
+            F.lit(1), F.ceil(F.col("count") / F.lit(target))
+        ).cast("int").alias("n_salts"),
     )
 
 

@@ -1,0 +1,54 @@
+"""Incremental encode via Structured Streaming.
+
+The reference is batch-only (SURVEY.md §2.8); its incremental story is the
+processed-log anti-join.  At 10^12-turn scale new transcript partitions land
+continuously, so we also expose the same encode as a streaming job:
+``readStream`` over the input directory -> ``foreachBatch`` running the
+resumable :func:`bids2table_spark.manifest.encode_job`.  The manifest
+anti-join makes every micro-batch idempotent, so exactly-once falls out of
+the same mechanism the batch job uses — checkpoints only bound re-reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..manifest import encode_job
+
+
+def encode_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    schema,
+    checkpoint: str | None = None,
+    plan: dict[str, str] | None = None,
+    available_now: bool = True,
+    **encode_kwargs,
+):
+    """Start a streaming encode of parquet files arriving under input_path.
+
+    With ``available_now`` the query drains existing input and stops — the
+    batch-driven smoke mode; in production the same query runs continuously.
+    Returns the StreamingQuery.
+    """
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def sink(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode_job(
+            spark,
+            batch_df,
+            out_dir,
+            run_id=f"stream-{epoch_id:08d}",
+            plan=plan,
+            **encode_kwargs,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint or f"{out_dir.rstrip('/')}/_checkpoint"
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -137,6 +137,15 @@ def gen_turns(conv_ids: np.ndarray, seed: int = 42, n_pt: int = 8, n_conv_total:
     jstat = np.where(_uniform(conv, turn, 7, seed) < 0.9, "ok", "error").astype(object)
     jtext = '{"' + jk + '": "' + jv + '", "status": "' + jstat + '"}'
     text = np.where(role == "tool", jtext, text)
+    # per-turn entropy on ~40% of turns (ids, counts) so text is not
+    # trivially dict-encodable — keeps the FSST path honest at scale
+    uid = _mix(conv.astype(np.uint64) * np.uint64(31) + turn.astype(np.uint64) + np.uint64(seed))
+    tagged = _uniform(conv, turn, 11, seed) < 0.4
+    text = np.where(
+        tagged,
+        text + " ref-" + np.char.mod("%012x", uid & np.uint64(0xFFFFFFFFFFFF)).astype(object),
+        text,
+    ).astype(object)
     emoji_turn = _uniform(conv, turn, 8, seed) < 0.02
     text = np.where(
         emoji_turn, text + " " + _EMOJI[(i1 % len(_EMOJI))], text

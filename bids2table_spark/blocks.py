@@ -60,6 +60,19 @@ BLOCKS_SCHEMA_DDL = (
 )
 
 
+def pin_worker_threads() -> None:
+    """Cap Arrow's per-process thread pools inside python workers (called at
+    the top of every grouped UDF; idempotent).  See the session.py note —
+    32 workers each defaulting to machine-wide pools makes local[32] slower
+    than local[8]."""
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        try:
+            pa.set_io_thread_count(1)
+        except Exception:
+            pass
+
+
 def spark_field_phys(dt) -> str:
     """Map a Spark DataType to a physical tag."""
     from pyspark.sql import types as T
@@ -109,6 +122,78 @@ def _canonical_bytes(values, mask: np.ndarray, phys: str) -> bytes:
     else:
         h.update(np.ascontiguousarray(values).tobytes())
     return h.hexdigest()
+
+
+def _to_kernel_arrow(arr: pa.Array, phys: str):
+    """Arrow-native variant of :func:`_to_kernel` — no pandas object boxing.
+
+    Returns (valid_values_for_kernel, validity_mask).  Timestamps normalize
+    to epoch ns regardless of the arrow unit so checksums agree with the
+    pandas path.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if arr.null_count:
+        mask = arr.is_valid().to_numpy(zero_copy_only=False)
+        valid_arr = arr.drop_null()
+    else:
+        mask = np.ones(n, dtype=bool)
+        valid_arr = arr
+    if phys in (PHYS_TS, PHYS_TS_NTZ):
+        t = valid_arr.type
+        vals = valid_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        unit = t.unit if pa.types.is_timestamp(t) else "us"
+        scale = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[unit]
+        return vals * np.int64(scale), mask
+    if phys in (PHYS_INT, PHYS_LONG):
+        return valid_arr.cast(pa.int64()).to_numpy(zero_copy_only=False), mask
+    if phys == PHYS_DOUBLE:
+        return valid_arr.cast(pa.float64()).to_numpy(zero_copy_only=False), mask
+    return valid_arr, mask  # strings stay as an arrow array
+
+
+def encode_block_arrow(
+    pt: str,
+    grp: str,
+    block_id: int,
+    column: str,
+    arr: pa.Array,
+    phys: str,
+    codec_name: str,
+) -> dict:
+    """Arrow-native encode of one column chunk into a block-row dict."""
+    logical = PHYS_TO_LOGICAL[phys]
+    valid, mask = _to_kernel_arrow(arr, phys)
+    n = len(arr)
+    n_nulls = int(n - mask.sum())
+    codec = get_codec(codec_name)
+    meta, payload = codec.encode(valid, logical)
+    if n_nulls:
+        mask_b = np.packbits(mask).tobytes()
+        payload = mask_b + payload
+        meta = dict(meta)
+        meta["mask_bytes"] = len(mask_b)
+    if phys == PHYS_STRING:
+        offs, _ = strings_to_buf(valid)
+        orig = int(offs[-1]) + 8 * n
+    else:
+        orig = 8 * n
+    return {
+        "pt": pt,
+        "grp": grp,
+        "block_id": block_id,
+        "column": column,
+        "codec": codec_name,
+        "phys": phys,
+        "n_rows": n,
+        "n_nulls": n_nulls,
+        "meta": meta_dumps(meta),
+        "payload": payload,
+        "orig_bytes": orig,
+        "enc_bytes": len(payload),
+        "checksum": _canonical_bytes(valid, mask, phys),
+    }
 
 
 def encode_block(

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Callable, Mapping
 
 import pandas as pd
+import pyarrow as pa
 
 from .blocks import BLOCKS_SCHEMA_DDL, encode_block, spark_field_phys
 from .partitioning import DEFAULT_GROUP_ROWS, salt_plan, with_group
@@ -46,7 +47,10 @@ def make_encode_fn(
     choice per block (selector.choose_codec_local).
     """
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_group(key, pdf):
+        from .blocks import pin_worker_threads
+
+        pin_worker_threads()
         pt, grp = str(key[0]), str(key[1])
         pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         rows = []
@@ -92,7 +96,60 @@ def encode_table(
     if splan is None:
         splan = salt_plan(df, pt_col=pt_col, target_group_rows=target_group_rows)
     grouped = with_group(df, splan, pt_col=pt_col, conv_col=conv_col)
-    return encode_grouped(grouped, key_cols=key_cols, pt_col=pt_col, plan=plan, block_rows=block_rows)
+    return encode_grouped(
+        grouped, key_cols=key_cols, pt_col=pt_col, plan=plan,
+        block_rows=block_rows, num_partitions=sum(splan.values()),
+    )
+
+
+_BLOCKS_ARROW_FIELDS = [
+    ("pt", "string"), ("grp", "string"), ("block_id", "int64"),
+    ("column", "string"), ("col_idx", "int32"), ("codec", "string"),
+    ("phys", "string"), ("n_rows", "int64"), ("n_nulls", "int64"),
+    ("meta", "string"), ("payload", "binary"), ("orig_bytes", "int64"),
+    ("enc_bytes", "int64"), ("checksum", "string"),
+]
+
+
+def make_encode_fn_arrow(
+    columns: list[tuple[str, str]],
+    sort_cols: list[str],
+    plan: Mapping[str, str] | None,
+    block_rows: int,
+) -> Callable:
+    """Arrow-native group encoder (``applyInArrow``): the group arrives as a
+    pa.Table, is sorted and sliced zero-copy, and string columns reach the
+    kernels as Arrow arrays — no pandas object boxing on the hot path."""
+    schema = pa.schema([(n, getattr(pa, t)()) for n, t in _BLOCKS_ARROW_FIELDS])
+
+    def encode_group(key, tbl):  # no hints: pyspark infers eval type
+        from .blocks import encode_block_arrow, pin_worker_threads
+        from .selector import choose_codec_local
+
+        pin_worker_threads()
+        pt, grp = str(key[0]), str(key[1])
+        tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
+        rows = []
+        n = tbl.num_rows
+        for b, lo in enumerate(range(0, n, block_rows)):
+            chunk = tbl.slice(lo, block_rows)
+            for ci, (col, phys) in enumerate(columns):
+                codec = None
+                if plan:
+                    codec = plan.get(f"{pt}/{col}") or plan.get(col)
+                arr = chunk.column(col).combine_chunks()
+                if codec is None:
+                    codec = choose_codec_local(arr, phys)
+                row = encode_block_arrow(pt, grp, b, col, arr, phys, codec)
+                row["col_idx"] = ci
+                rows.append(row)
+        arrays = [
+            pa.array([r[name] for r in rows], type=schema.field(name).type)
+            for name, _ in _BLOCKS_ARROW_FIELDS
+        ]
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+    return encode_group
 
 
 def encode_grouped(
@@ -101,9 +158,23 @@ def encode_grouped(
     pt_col: str = "pt",
     plan: Mapping[str, str] | None = None,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    num_partitions: int | None = None,
 ):
-    """Encode a DataFrame that already carries the ``grp`` salt column."""
+    """Encode a DataFrame that already carries the ``grp`` salt column.
+
+    ``num_partitions`` should be ~the number of (pt, grp) groups: with the
+    default shuffle partition count, hash collisions pile several groups
+    into one reduce task and the stragglers cap throughput well below the
+    core count (measured 2x).  The explicit repartition on the same keys is
+    reused by the groupBy, so there is still exactly ONE shuffle.
+    """
+    from pyspark.sql import functions as F
+
     data_fields = [f for f in grouped.schema.fields if f.name not in (pt_col, "grp")]
     columns = [(f.name, spark_field_phys(f.dataType)) for f in data_fields]
-    fn = make_encode_fn(columns, list(key_cols), plan, block_rows)
-    return grouped.groupBy(pt_col, "grp").applyInPandas(fn, BLOCKS_DDL_WITH_IDX)
+    fn = make_encode_fn_arrow(columns, list(key_cols), plan, block_rows)
+    if num_partitions:
+        grouped = grouped.repartition(
+            min(int(num_partitions), 8192), F.col(pt_col), F.col("grp")
+        )
+    return grouped.groupBy(pt_col, "grp").applyInArrow(fn, BLOCKS_DDL_WITH_IDX)

@@ -79,28 +79,38 @@ def encode_job(
     splan = salt_plan(df, pt_col=pt_col, target_group_rows=target_group_rows)
     grouped = with_group(df, splan, pt_col=pt_col, conv_col=conv_col)
 
-    pending = grouped.select(pt_col, "grp").distinct()
-    n_total = pending.count()
+    # the group universe comes from the (tiny) salt plan — no extra pass over
+    # the data; (pt, grp) membership is a pure function of conv_id + plan
+    all_groups = [
+        (pt, f"g{s:04d}") for pt, n in sorted(splan.items()) for s in range(n)
+    ]
+    n_total = len(all_groups)
+    pending = spark.createDataFrame(all_groups, f"{pt_col} string, grp string")
     done = committed_groups(spark, out_dir) if resume else None
+    n_pending = n_total
     if done is not None:
         pending = pending.join(done, on=[pt_col, "grp"], how="left_anti")
+        n_pending = pending.count()
     if max_groups is not None:
         pending = pending.orderBy(pt_col, "grp").limit(max_groups)
-    pending = pending.cache()
-    n_pending = pending.count()
+        n_pending = pending.count()
     if n_pending == 0:
         return {"run_id": run_id, "groups_total": n_total, "groups_encoded": 0,
                 "groups_skipped": n_total, "orig_bytes": 0, "enc_bytes": 0}
 
-    todo = grouped.join(F.broadcast(pending), on=[pt_col, "grp"], how="left_semi")
+    if n_pending == n_total:
+        todo = grouped  # fresh encode: skip the semi-join entirely
+    else:
+        todo = grouped.join(F.broadcast(pending), on=[pt_col, "grp"], how="left_semi")
     blocks = encode_grouped(
-        todo, key_cols=key_cols, pt_col=pt_col, plan=plan, block_rows=block_rows
+        todo, key_cols=key_cols, pt_col=pt_col, plan=plan,
+        block_rows=block_rows, num_partitions=n_pending,
     ).withColumn("run_id", F.lit(run_id))
 
-    # 1) durable blocks first …
-    blocks.write.mode("append").partitionBy(pt_col).option(
-        "compression", "zstd"
-    ).parquet(bpath)
+    # 1) durable blocks first … (no partitionBy: each encode task emits one
+    # file; pt lives as a column and readers select via the manifest join,
+    # so hive-style dirs would only multiply small files ~8x)
+    blocks.write.mode("append").option("compression", "zstd").parquet(bpath)
 
     # 2) … then manifest rows derived from what actually landed on disk
     written = spark.read.parquet(bpath).filter(F.col("run_id") == run_id)
@@ -142,7 +152,6 @@ def encode_job(
     agg = m.agg(
         F.count("*"), F.sum("orig_bytes"), F.sum("enc_bytes"), F.sum("n_rows")
     ).collect()[0]
-    pending.unpersist()
     return {
         "run_id": run_id,
         "groups_total": n_total,

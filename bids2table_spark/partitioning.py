@@ -28,33 +28,45 @@ def adaptive_group_rows(total_rows: int, parallelism: int, target_group_rows: in
     return min(target_group_rows, per_core_target)
 
 
-def salt_plan(df: DataFrame, pt_col: str = "pt", target_group_rows: int | None = DEFAULT_GROUP_ROWS) -> DataFrame:
-    """rows-per-pt pre-pass -> (pt, n_salts). Hot pts get more buckets; the
+def salt_plan(
+    df: DataFrame, pt_col: str = "pt", target_group_rows: int | None = DEFAULT_GROUP_ROWS
+) -> dict[str, int]:
+    """rows-per-pt pre-pass -> {pt: n_salts}. Hot pts get more buckets; the
     group-size target adapts to cluster parallelism (see adaptive_group_rows).
+
+    One aggregation + one driver collect; the result is tiny (one entry per
+    partition) and is attached back as a *literal map expression*, not a
+    join — the salt lookup costs nothing at scan time.
     """
-    counts = df.groupBy(pt_col).count()
     if target_group_rows is None:
         target_group_rows = DEFAULT_GROUP_ROWS
-    spark = df.sparkSession
-    total = counts.agg(F.sum("count")).collect()[0][0] or 0
+    rows = df.groupBy(pt_col).count().collect()
+    total = sum(r["count"] for r in rows)
     target = adaptive_group_rows(
-        int(total), spark.sparkContext.defaultParallelism, target_group_rows
+        int(total), df.sparkSession.sparkContext.defaultParallelism, target_group_rows
     )
-    return counts.select(
-        F.col(pt_col),
-        F.greatest(
-            F.lit(1), F.ceil(F.col("count") / F.lit(target))
-        ).cast("int").alias("n_salts"),
-    )
+    return {r[pt_col]: max(1, -(-r["count"] // target)) for r in rows}
 
 
 def with_group(
     df: DataFrame,
-    plan: DataFrame,
+    plan: dict[str, int],
     pt_col: str = "pt",
     conv_col: str = "conv_id",
 ) -> DataFrame:
-    """Attach the salt-group column ``grp`` (deterministic per conversation)."""
-    out = df.join(F.broadcast(plan), on=pt_col, how="left")
-    grp = F.pmod(F.xxhash64(F.col(conv_col)), F.coalesce(F.col("n_salts"), F.lit(1)))
-    return out.withColumn("grp", F.format_string("g%04d", grp)).drop("n_salts")
+    """Attach the salt-group column ``grp`` (deterministic per conversation).
+
+    ``grp = xxhash64(conv) mod n_salts(pt)`` keeps every conversation in one
+    group (sorted runs and delta chains survive) while hot partitions fan
+    out over more buckets.
+    """
+    entries: list = []
+    for k, v in sorted(plan.items()):
+        entries.extend([F.lit(k), F.lit(int(v))])
+    n_salts = (
+        F.coalesce(F.element_at(F.create_map(*entries), F.col(pt_col)), F.lit(1))
+        if entries
+        else F.lit(1)
+    )
+    grp = F.pmod(F.xxhash64(F.col(conv_col)), n_salts)
+    return df.withColumn("grp", F.format_string("g%04d", grp))

@@ -68,14 +68,23 @@ def byte_entropy(buf: np.ndarray) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
-def estimate_str_sizes(series: pd.Series) -> dict[str, float]:
+def estimate_str_sizes(series) -> dict[str, float]:
     import pyarrow as pa
 
-    vals = series.dropna()
-    n = len(vals)
-    if n == 0:
-        return {"plain": 0.0}
-    arr = pa.Array.from_pandas(vals).cast(pa.large_string())
+    if isinstance(series, pa.ChunkedArray):
+        series = series.combine_chunks()
+    if isinstance(series, pa.Array):
+        arr = series.drop_null() if series.null_count else series
+        n = len(arr)
+        if n == 0:
+            return {"plain": 0.0}
+        arr = arr.cast(pa.large_string())
+    else:
+        vals = series.dropna()
+        n = len(vals)
+        if n == 0:
+            return {"plain": 0.0}
+        arr = pa.Array.from_pandas(vals).cast(pa.large_string())
     d = arr.dictionary_encode()
     ndv = len(d.dictionary)
     codes = d.indices.to_numpy(zero_copy_only=False)
@@ -100,14 +109,22 @@ def estimate_str_sizes(series: pd.Series) -> dict[str, float]:
     return out
 
 
-def choose_codec_local(series: pd.Series, phys: str) -> str:
-    """Cost-model pick for one block (exact stats, data already in memory)."""
+def choose_codec_local(series, phys: str) -> str:
+    """Cost-model pick for one block (exact stats, data already in memory).
+    Accepts a pandas Series or a pyarrow Array."""
+    import pyarrow as pa
+
     if phys in ("int", "long", "timestamp", "timestamp_ntz"):
-        v = series.dropna()
-        if phys.startswith("timestamp"):
-            vals = pd.to_datetime(v).astype("datetime64[ns]").astype(np.int64).to_numpy()
+        if isinstance(series, (pa.Array, pa.ChunkedArray)):
+            from .blocks import _to_kernel_arrow
+
+            vals, _ = _to_kernel_arrow(series, phys)
         else:
-            vals = v.to_numpy(dtype=np.int64, na_value=0) if v.dtype.kind == "f" else v.to_numpy().astype(np.int64)
+            v = series.dropna()
+            if phys.startswith("timestamp"):
+                vals = pd.to_datetime(v).astype("datetime64[ns]").astype(np.int64).to_numpy()
+            else:
+                vals = v.to_numpy(dtype=np.int64, na_value=0) if v.dtype.kind == "f" else v.to_numpy().astype(np.int64)
         est = estimate_int_sizes(vals)
     elif phys == "string":
         est = estimate_str_sizes(series)

@@ -12,6 +12,14 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Each PySpark python worker inherits this environment.  Without it, every
+# worker sizes its Arrow/BLAS thread pools at the machine core count —
+# 32 workers x 32 threads thrashes the box and local[32] runs *slower*
+# than local[8].  Kernels are already process-parallel via Spark tasks.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "ARROW_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def get_spark(
     app: str = "bids2table_spark",

@@ -92,7 +92,10 @@ def sample_stats(
     fields = [(f.name, spark_field_phys(f.dataType)) for f in df.schema.fields if f.name != pt_col]
     sampled = df.sample(fraction=min(1.0, fraction), seed=seed)
 
-    def per_pt(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_pt(key, pdf):
+        from .blocks import pin_worker_threads
+
+        pin_worker_threads()
         pt = str(key[0])
         pdf = pdf.sort_values(list(sort_cols), kind="mergesort", ignore_index=True)
         return pd.DataFrame([_col_stats(pt, name, phys, pdf[name]) for name, phys in fields])

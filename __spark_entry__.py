@@ -260,6 +260,46 @@ def q_overlap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (classic OLAP pattern; the streaming-less
+    analog of session_window): new session when gap > 30 min."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("is_new"),
+    ).withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 line items by revenue per returnflag (window row_number <= k)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        rev.desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("revenue", rev)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_returnflag", "rnk", "l_orderkey", "l_linenumber", "revenue")
+    )
+
+
 # ------------------------------------------------ training-data pipeline ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract": q_regex_extract,
         "pattern_filter": q_pattern_filter,
         "overlap_filter": q_overlap_filter,
+        "sessionize": q_sessionize,
+        "topk_per_group": q_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -507,6 +549,37 @@ def oracle_sql() -> dict[str, str]:
               FROM tr)
             SELECT role, count(*) AS n, round(avg(overlap), 4) AS avg_overlap
             FROM o WHERE overlap >= 0.75 GROUP BY role
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id
+        """,
+        "topk_per_group": """
+            WITH r AS (
+              SELECT l_returnflag, l_orderkey, l_linenumber,
+                     round(l_extendedprice * (1 - l_discount), 4) AS revenue
+              FROM lineitem),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY l_returnflag
+                ORDER BY revenue DESC, l_orderkey, l_linenumber) AS rnk
+              FROM r)
+            SELECT l_returnflag, rnk, l_orderkey, l_linenumber, revenue
+            FROM ranked WHERE rnk <= 3
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,

@@ -20,6 +20,13 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
            "ARROW_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
     os.environ.setdefault(_v, "1")
 
+# numpy frees large temporaries immediately and glibc munmaps them, so every
+# kernel invocation re-faults fresh zeroed pages — profiling showed ~95% of
+# CPU in sys time during the encode stage.  Keeping big allocations on the
+# reusable brk heap removes the mmap/fault churn.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
+
 
 def get_spark(
     app: str = "bids2table_spark",

@@ -71,6 +71,14 @@ def encode_bench(spark, n_conv: int, group_rows: int | None = None) -> dict:
         summary = encode_job(spark, tr, f"{tmp}/enc", run_id="bench", plan=plan, **kw)
         encode_s = time.time() - t0
 
+        # decode side: checksum-verified full decode back to rows
+        from bids2table_spark.manifest import decode_job
+
+        t2 = time.time()
+        decoded_rows = decode_job(spark, f"{tmp}/enc").count()
+        decode_s = time.time() - t2
+        assert decoded_rows == n_rows, f"decode rows {decoded_rows} != {n_rows}"
+
         # reference compressed size: same table as Parquet+zstd
         t1 = time.time()
         tr.write.mode("overwrite").option("compression", "zstd").parquet(f"{tmp}/ref")
@@ -93,6 +101,8 @@ def encode_bench(spark, n_conv: int, group_rows: int | None = None) -> dict:
         "n_turns": n_rows,
         "encode_sec": round(encode_s, 3),
         "turns_per_sec": round(n_rows / encode_s, 1),
+        "decode_sec": round(decode_s, 3),
+        "decode_turns_per_sec": round(n_rows / decode_s, 1),
         "payload_bytes": summary["enc_bytes"],
         "orig_bytes": summary["orig_bytes"],
         "enc_disk_bytes": enc_disk_bytes,
@@ -204,13 +214,14 @@ def run_scaling() -> None:
             "full 32-thread load shows up to 45% hypervisor steal time, so "
             "local[32] cannot exceed local[8] on this box (see NOTES.md); N=2 vs "
             "4N=8 measures genuine scaling.\n\n"
-            "| cores | encode sec | turns/sec | bytes/turn (ours) | bytes/turn (parquet+zstd ref) | ours/ref |\n"
-            "|---|---|---|---|---|---|\n"
+            "| cores | encode sec | turns/sec | decode turns/sec | bytes/turn (ours) | bytes/turn (parquet+zstd ref) | ours/ref |\n"
+            "|---|---|---|---|---|---|---|\n"
         )
         for cpus in (lo, hi):
             r = results[cpus]
             f.write(
                 f"| local[{cpus}] | {r['encode_sec']} | {r['turns_per_sec']} | "
+                f"{r.get('decode_turns_per_sec', '-')} | "
                 f"{r['bytes_per_turn']} | {r['ref_bytes_per_turn']} | {r['vs_ref_ratio']} |\n"
             )
         f.write(

@@ -43,11 +43,75 @@ def _windows_u64(buf: np.ndarray, L: int) -> np.ndarray:
     return w
 
 
-def build_table(buf: np.ndarray, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
-    """Rank candidate substrings of length 1..8 by gain on a sample and keep
-    the top ``max_symbols``.  Deterministic: ties broken by (length, bytes)."""
+def build_table(buf: np.ndarray, max_symbols: int = MAX_SYMBOLS, iters: int = 3) -> list[bytes]:
+    """Construct the symbol table: one-shot gain ranking over a sample, then
+    ``iters-1`` refinement passes (the paper's iterative construction):
+    compress the sample with the current table, measure *realized* per-code
+    gains (raw counts overestimate via overlaps), drop dead symbols and
+    refill from the runner-up candidates.  Deterministic throughout."""
     sample = buf[:SAMPLE_BYTES]
-    per_len_cap = 4 * max_symbols
+    symbols = _rank_candidates(sample, cap=max_symbols)
+    if len(sample) < 1024 or not symbols:
+        return symbols
+    best_symbols, best_size = symbols, None
+    for _ in range(max(0, iters - 1)):
+        table = _Table(symbols)
+        stream = compress(sample, table)
+        if best_size is None or len(stream) < best_size:
+            best_symbols, best_size = symbols, len(stream)
+        tok, is_lit = _parse_stream(stream)
+        toks = stream[tok]
+        # realized gain per existing symbol: code frequency x bytes saved
+        code_tok = toks[~is_lit]
+        counts = np.bincount(code_tok, minlength=256)[: len(symbols)]
+        cand: dict[bytes, int] = {}
+        for i, s in enumerate(symbols):
+            save = (len(s) - 1) if len(s) > 1 else 1
+            g = int(counts[i]) * save
+            if g > 0:
+                cand[s] = max(cand.get(s, 0), g)
+        # grow candidates by merging adjacent symbol pairs (the paper's
+        # concatenation step): one code instead of two saves 1 byte/occurrence,
+        # and longer symbols unlock further merges next iteration
+        if len(code_tok) > 1:
+            adj = np.flatnonzero(np.diff(np.flatnonzero(~is_lit)) == 1)
+            a = code_tok[adj]
+            b = code_tok[adj + 1]
+            pair_keys = a.astype(np.int64) * 256 + b
+            uniq, pcount = np.unique(pair_keys, return_counts=True)
+            top = np.argsort(-pcount)[:max_symbols]
+            for key, cnt in zip(uniq[top].tolist(), pcount[top].tolist()):
+                if cnt < 3:
+                    continue
+                merged = symbols[key // 256] + symbols[key % 256]
+                if len(merged) <= MAX_LEN:
+                    g = cnt * (len(merged) - 1)
+                    cand[merged] = max(cand.get(merged, 0), g)
+        # escaped literals -> 1-byte symbol candidates (escape costs 2 bytes)
+        lit_vals = toks[is_lit]
+        if len(lit_vals):
+            lcounts = np.bincount(lit_vals, minlength=256)
+            for v in np.flatnonzero(lcounts > 2).tolist():
+                s1 = bytes([v])
+                cand[s1] = max(cand.get(s1, 0), int(lcounts[v]))
+        # deterministic re-rank: gain desc, then (len, bytes)
+        symbols = [
+            s for s, _ in sorted(cand.items(), key=lambda kv: (-kv[1], len(kv[0]), kv[0]))
+        ][:max_symbols]
+        if not symbols:
+            break
+    if symbols:
+        table = _Table(symbols)
+        stream = compress(sample, table)
+        if best_size is None or len(stream) < best_size:
+            best_symbols = symbols
+    return best_symbols
+
+
+def _rank_candidates(sample: np.ndarray, cap: int) -> list[bytes]:
+    """One-shot gain ranking of substrings (the iteration-0 table);
+    returns up to ``cap`` ranked symbols (the extras feed refinement)."""
+    per_len_cap = cap
     gains, lens_, keys_ = [], [], []
     for L in range(1, MAX_LEN + 1):
         keys = _windows_u64(sample, L)
@@ -73,7 +137,7 @@ def build_table(buf: np.ndarray, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
     length = np.concatenate(lens_)
     key = np.concatenate(keys_)
     # Highest gain first; deterministic tie-break on (length, key).
-    order = np.lexsort((key, length, -gain))[:max_symbols]
+    order = np.lexsort((key, length, -gain))[:cap]
     return [
         int(k).to_bytes(int(ln), "little")
         for k, ln in zip(key[order].tolist(), length[order].tolist())
@@ -134,7 +198,10 @@ class _Table:
 
     def __init__(self, symbols: list[bytes]):
         self.symbols = symbols
-        self.sym_len = np.array([len(s) for s in symbols] + [0], dtype=np.int64)
+        # full 256-wide tables: np.where evaluates sym_len[codes] for literal
+        # tokens too, whose byte values can exceed the symbol count
+        self.sym_len = np.zeros(256, dtype=np.int64)
+        self.sym_len[: len(symbols)] = [len(s) for s in symbols]
         mat = np.zeros((MAX_SYMBOLS + 1, MAX_LEN), dtype=np.uint8)
         for i, s in enumerate(symbols):
             mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
@@ -247,18 +314,15 @@ def compress(buf: np.ndarray, table: _Table) -> np.ndarray:
     return out
 
 
-def decompress(stream: np.ndarray, table: _Table, out_len: int) -> np.ndarray:
-    """Inverse of :func:`compress` — pure table substitution, vectorized.
+def _parse_stream(s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Token positions and literal-mask of an FSST stream, vectorized.
 
-    Escape parsing: inside each maximal run of consecutive 0xFF bytes the
-    escape markers alternate starting with the first (a literal can itself be
-    0xFF); an odd-length run additionally consumes the byte after the run as
-    its final literal.
+    Inside each maximal run of consecutive 0xFF bytes the escape markers
+    alternate starting with the first (a literal can itself be 0xFF); an
+    odd-length run additionally consumes the byte after the run as its final
+    literal.  Returns (token_positions, is_literal) in stream order.
     """
-    s = np.ascontiguousarray(stream, dtype=np.uint8)
     n = len(s)
-    if n == 0:
-        return np.empty(0, dtype=np.uint8)
     is_ff = s == ESCAPE
     lit_mask = np.zeros(n, dtype=bool)  # stream positions holding literal bytes
     marker = np.zeros(n, dtype=bool)
@@ -287,7 +351,21 @@ def decompress(stream: np.ndarray, table: _Table, out_len: int) -> np.ndarray:
         lit_mask[after] = True
     code_mask = ~marker & ~lit_mask
     tok = np.flatnonzero(code_mask | lit_mask)
-    is_lit = lit_mask[tok]
+    return tok, lit_mask[tok]
+
+
+def decompress(stream: np.ndarray, table: _Table, out_len: int) -> np.ndarray:
+    """Inverse of :func:`compress` — pure table substitution, vectorized.
+
+    Escape parsing: inside each maximal run of consecutive 0xFF bytes the
+    escape markers alternate starting with the first (a literal can itself be
+    0xFF); an odd-length run additionally consumes the byte after the run as
+    its final literal.
+    """
+    s = np.ascontiguousarray(stream, dtype=np.uint8)
+    if len(s) == 0:
+        return np.empty(0, dtype=np.uint8)
+    tok, is_lit = _parse_stream(s)
     codes = s[tok]
     out_lens = np.where(is_lit, 1, table.sym_len[codes])
     offs = np.zeros(len(tok) + 1, dtype=np.int64)

@@ -106,7 +106,9 @@ def q_key_merge_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frag_b = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
         F.count("*").alias("n_lines"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
     )
     return frag_a.join(frag_b, on="orderkey", how="full_outer")
 
@@ -141,12 +143,20 @@ def q_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 streaming counters as aggregation: totals + derived rate."""
     ev = _t(spark, sf_dir, "events")
-    total = ev.count()
-    return ev.groupBy("event_type").agg(
+    # total via an unpartitioned window over the (tiny) aggregate output —
+    # no separate driver-side count() action / extra pass over events
+    agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.count("*") / F.lit(float(total)), 6).alias("frac"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("_sum_v"),
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return agg.select(
+        "event_type",
+        "n",
+        "n_users",
+        F.round(F.col("n") / total.cast("double"), 6).alias("frac"),
+        F.round(F.col("_sum_v").cast("double") / F.col("n"), 4).alias("avg_value"),
     )
 
 
@@ -256,7 +266,12 @@ def q_overlap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.withColumn("overlap", F.round(nn / F.lit(float(len(fields))), 4))
         .filter(F.col("overlap") >= 0.75)
         .groupBy("role")
-        .agg(F.count("*").alias("n"), F.round(F.avg("overlap"), 4).alias("avg_overlap"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("overlap").cast("decimal(28,6)")).cast("double") / F.count("*"), 4
+            ).alias("avg_overlap"),
+        )
     )
 
 
@@ -277,9 +292,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    # decimal-cast before summing: double addition is order-dependent and a
+    # .xx5 boundary can round differently between runs (round-1 flake)
     return flagged.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("session_value"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
@@ -457,7 +476,7 @@ def oracle_sql() -> dict[str, str]:
               FROM orders),
             frag_b AS (
               SELECT l_orderkey AS orderkey, count(*) AS n_lines,
-                     round(sum(l_quantity), 2) AS sum_qty
+                     round(sum(l_quantity::DECIMAL(28,6)), 2)::DOUBLE AS sum_qty
               FROM lineitem GROUP BY 1)
             SELECT coalesce(a.orderkey, b.orderkey) AS orderkey, custkey, totalprice,
                    n_lines, sum_qty
@@ -480,7 +499,7 @@ def oracle_sql() -> dict[str, str]:
         "group_counts": """
             SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
                    round(count(*) / (SELECT count(*)::DOUBLE FROM events), 6) AS frac,
-                   round(avg(value), 4) AS avg_value
+                   round(sum(value::DECIMAL(28,6))::DOUBLE / count(*), 4) AS avg_value
             FROM events GROUP BY event_type
         """,
         "run_length_sql": """
@@ -547,7 +566,8 @@ def oracle_sql() -> dict[str, str]:
                       + (role IS NOT NULL)::INT + (text IS NOT NULL)::INT
                       + (tool IS NOT NULL)::INT + (ts IS NOT NULL)::INT) / 6.0, 4) AS overlap
               FROM tr)
-            SELECT role, count(*) AS n, round(avg(overlap), 4) AS avg_overlap
+            SELECT role, count(*) AS n,
+                   round(sum(overlap::DECIMAL(28,6))::DOUBLE / count(*), 4) AS avg_overlap
             FROM o WHERE overlap >= 0.75 GROUP BY role
         """,
         "sessionize": """
@@ -564,7 +584,7 @@ def oracle_sql() -> dict[str, str]:
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM flagged)
             SELECT user_id, session_id, count(*) AS n_events,
-                   round(sum(value), 2) AS session_value,
+                   round(sum(value::DECIMAL(28,6)), 2)::DOUBLE AS session_value,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id
         """,

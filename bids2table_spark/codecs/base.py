@@ -76,7 +76,11 @@ def strings_to_buf(values) -> tuple[np.ndarray, bytes]:
     n = len(arr)
     if n == 0:
         return np.zeros(1, dtype=np.int64), b""
-    raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=n + 1)
+    # honor arr.offset: a zero-copy slice shares its parent's buffers, so the
+    # first logical offset lives at buffer position arr.offset
+    raw_off = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64, count=n + 1 + arr.offset
+    )[arr.offset :]
     data = arr.buffers()[2]
     buf = data.to_pybytes()[raw_off[0] : raw_off[-1]] if data is not None else b""
     return (raw_off - raw_off[0]).copy(), buf

@@ -10,7 +10,7 @@ exists for them.
 Differences from the C++ reference implementation (public paper, no code
 reused): symbol-table construction is a one-shot frequency/gain ranking over
 a bounded sample rather than 5 refinement iterations, and match selection is
-a *vectorized* greedy cover — longest symbols first, with exact greedy
+a *vectorized* greedy cover — longest symbols first, with approximate greedy
 overlap resolution inside each length class via a block-thin + parity trick —
 instead of a sequential longest-match scan.  Both choices only affect the
 achieved ratio (slightly), never correctness: decode is pure table
@@ -145,11 +145,15 @@ def _rank_candidates(sample: np.ndarray, cap: int) -> list[bytes]:
 
 
 def _keep_greedy(cand: np.ndarray, L: int) -> np.ndarray:
-    """Exact greedy non-overlap selection among sorted candidate positions of
-    one length class, vectorized.
+    """Greedy-consistent approximate non-overlap selection among sorted
+    candidate positions of one length class, vectorized.
 
-    Step 1: keep only the first candidate per L-aligned block (cheap thin
-    that preserves greedy's choices: within a block only the first can win).
+    Step 1: keep only the first candidate per L-aligned block.  This is an
+    approximation, not exact greedy: the kept candidate can be blocked by a
+    prior-chain selection while a later same-block candidate would have been
+    selectable (e.g. L=4, positions [2,4,7]: true greedy keeps {2,7}, the
+    thinning keeps {2}).  Round-trips stay bit-identical — uncovered bytes
+    are escaped — only the compression ratio is (slightly) affected.
     Step 2: after thinning, consecutive survivors are in distinct blocks, so
     any position two survivors later is always > L away; greedy therefore
     alternates inside each maximal chain of <L-spaced survivors — a parity

@@ -33,6 +33,25 @@ BLOCKS_DDL_WITH_IDX = BLOCKS_SCHEMA_DDL.replace(
     "column string", "column string, col_idx int"
 )
 
+# failure-isolation sentinel (reference behavior: per-file errors become
+# side-channel rows and the crawl continues, bids2table/crawler.py:92):
+# a group whose encode raises yields ONE row with this codec; the manifest
+# marks the group status='failed' and a resumed run re-attempts it.
+ERROR_CODEC = "__error__"
+
+
+def error_row(pt: str, grp: str, exc: Exception) -> dict:
+    import json
+    import traceback
+
+    msg = "".join(traceback.format_exception_only(type(exc), exc)).strip()[:2000]
+    return {
+        "pt": pt, "grp": grp, "block_id": -1, "column": "", "col_idx": -1,
+        "codec": ERROR_CODEC, "phys": "", "n_rows": 0, "n_nulls": 0,
+        "meta": json.dumps({"error": msg}), "payload": b"", "orig_bytes": 0,
+        "enc_bytes": 0, "checksum": "",
+    }
+
 
 def make_encode_fn(
     columns: list[tuple[str, str]],
@@ -52,20 +71,23 @@ def make_encode_fn(
 
         pin_worker_threads()
         pt, grp = str(key[0]), str(key[1])
-        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
-        rows = []
-        n = len(pdf)
-        for b, lo in enumerate(range(0, n, block_rows)):
-            chunk = pdf.iloc[lo : lo + block_rows]
-            for ci, (col, phys) in enumerate(columns):
-                codec = None
-                if plan:
-                    codec = plan.get(f"{pt}/{col}") or plan.get(col)
-                if codec is None:
-                    codec = choose_codec_local(chunk[col], phys)
-                row = encode_block(pt, grp, b, col, chunk[col], phys, codec)
-                row["col_idx"] = ci
-                rows.append(row)
+        try:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+            rows = []
+            n = len(pdf)
+            for b, lo in enumerate(range(0, n, block_rows)):
+                chunk = pdf.iloc[lo : lo + block_rows]
+                for ci, (col, phys) in enumerate(columns):
+                    codec = None
+                    if plan:
+                        codec = plan.get(f"{pt}/{col}") or plan.get(col)
+                    if codec is None:
+                        codec = choose_codec_local(chunk[col], phys)
+                    row = encode_block(pt, grp, b, col, chunk[col], phys, codec)
+                    row["col_idx"] = ci
+                    rows.append(row)
+        except Exception as exc:  # noqa: BLE001 — isolate the poisoned group
+            rows = [error_row(pt, grp, exc)]
         cols_order = [
             "pt", "grp", "block_id", "column", "col_idx", "codec", "phys",
             "n_rows", "n_nulls", "meta", "payload", "orig_bytes", "enc_bytes",
@@ -128,21 +150,24 @@ def make_encode_fn_arrow(
 
         pin_worker_threads()
         pt, grp = str(key[0]), str(key[1])
-        tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
-        rows = []
-        n = tbl.num_rows
-        for b, lo in enumerate(range(0, n, block_rows)):
-            chunk = tbl.slice(lo, block_rows)
-            for ci, (col, phys) in enumerate(columns):
-                codec = None
-                if plan:
-                    codec = plan.get(f"{pt}/{col}") or plan.get(col)
-                arr = chunk.column(col).combine_chunks()
-                if codec is None:
-                    codec = choose_codec_local(arr, phys)
-                row = encode_block_arrow(pt, grp, b, col, arr, phys, codec)
-                row["col_idx"] = ci
-                rows.append(row)
+        try:
+            tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
+            rows = []
+            n = tbl.num_rows
+            for b, lo in enumerate(range(0, n, block_rows)):
+                chunk = tbl.slice(lo, block_rows)
+                for ci, (col, phys) in enumerate(columns):
+                    codec = None
+                    if plan:
+                        codec = plan.get(f"{pt}/{col}") or plan.get(col)
+                    arr = chunk.column(col).combine_chunks()
+                    if codec is None:
+                        codec = choose_codec_local(arr, phys)
+                    row = encode_block_arrow(pt, grp, b, col, arr, phys, codec)
+                    row["col_idx"] = ci
+                    rows.append(row)
+        except Exception as exc:  # noqa: BLE001 — isolate the poisoned group
+            rows = [error_row(pt, grp, exc)]
         arrays = [
             pa.array([r[name] for r in rows], type=schema.field(name).type)
             for name, _ in _BLOCKS_ARROW_FIELDS

@@ -4,8 +4,9 @@ The reference's append-only ProcessedLog (``bids2table/logging.py:37-131``)
 re-imagined as a small Parquet table next to the encoded blocks:
 
     out_dir/
-      blocks/pt=…/…          encoded block rows, partitioned by pt
-      manifest/…             one row per committed (pt, grp) group
+      blocks/run_id=…/…       encoded block rows, partitioned by run
+      manifest/…              one row per attempted (pt, grp) group
+      salt_plan/…             persisted {scope, pt -> n_salts} (resume identity)
 
 Resume = left anti-join of pending groups against committed manifest rows
 (the reference's ``filter_paths`` join, ``logging.py:133-164``).  Blocks are
@@ -14,32 +15,57 @@ blocks that are never read, because readers inner-join blocks with the
 latest committed manifest row per group on (pt, grp, run_id) — the poor
 man's Iceberg snapshot (seam kept so an Iceberg catalog can replace the
 path layout; see sources/).
+
+Scale notes (the three round-1 scale-killers this layout fixes):
+
+* blocks are partitioned by ``run_id``, so deriving a run's manifest reads
+  ONLY that run's directory — an incremental run never re-lists the full
+  block history (round-1 re-scanned everything per run, per micro-batch);
+* the salt plan is persisted on first run and reloaded on resume, so group
+  labels are a stable function of (scope, pt, conv_id) even if the resuming
+  cluster has different parallelism or the input grew;
+* per-group failures (reference: ``bids2table/crawler.py:92`` failure
+  tables) become ``status='failed'`` manifest rows instead of killing the
+  job; a later run re-attempts exactly those groups.
 """
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .decode import decode_table
-from .encode import encode_grouped
+from .encode import ERROR_CODEC, encode_grouped
 from .partitioning import DEFAULT_GROUP_ROWS, salt_plan, with_group
 
 MANIFEST_DDL = (
     "pt string, grp string, run_id string, n_blocks long, n_rows long, "
     "orig_bytes long, enc_bytes long, codecs string, checksum string, "
-    "status string, committed_at timestamp"
+    "status string, committed_at timestamp, error string"
 )
 
 
-def _paths(out_dir: str) -> tuple[str, str]:
+def _paths(out_dir: str) -> tuple[str, str, str]:
     out_dir = out_dir.rstrip("/")
-    return f"{out_dir}/blocks", f"{out_dir}/manifest"
+    return f"{out_dir}/blocks", f"{out_dir}/manifest", f"{out_dir}/salt_plan"
+
+
+def _exists(path: str) -> bool:
+    """Cheap existence probe for local paths (avoids raising+logging a JVM
+    AnalysisException per run on the common 'first run, nothing there yet'
+    case). Non-local URIs fall through to True and the read's own handling."""
+    p = path.removeprefix("file://")
+    if "://" in p:
+        return True
+    return os.path.exists(p)
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    _, mpath = _paths(out_dir)
+    _, mpath, _ = _paths(out_dir)
+    if not _exists(mpath):
+        return None
     try:
         return spark.read.parquet(mpath)
     except Exception:
@@ -51,6 +77,59 @@ def committed_groups(spark: SparkSession, out_dir: str) -> DataFrame | None:
     if m is None:
         return None
     return m.filter(F.col("status") == "committed").select("pt", "grp").distinct()
+
+
+def load_salt_plan(
+    spark: SparkSession, out_dir: str, scope: str = ""
+) -> dict[str, int]:
+    """Persisted salt plan for ``scope`` (empty = the batch job)."""
+    _, _, ppath = _paths(out_dir)
+    if not _exists(ppath):
+        return {}
+    try:
+        rows = (
+            spark.read.parquet(ppath)
+            .filter(F.col("scope") == scope)
+            .groupBy("pt")
+            .agg(F.min("n_salts").alias("n_salts"))  # deterministic under dup appends
+            .collect()
+        )
+    except Exception:
+        return {}
+    return {r["pt"]: int(r["n_salts"]) for r in rows}
+
+
+def resolve_salt_plan(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    scope: str = "",
+    pt_col: str = "pt",
+    target_group_rows: int | None = DEFAULT_GROUP_ROWS,
+    resume: bool = True,
+) -> dict[str, int]:
+    """Stable resume identity: group labels must be a pure function of
+    (scope, pt, conv_id), NOT of the cluster that happens to run the retry.
+
+    First run persists its computed plan; a resume reloads it verbatim (a
+    different ``defaultParallelism`` or a grown input would otherwise remap
+    conversations to different grp labels and silently skip/redo rows).
+    Partitions unseen by the stored plan are appended — they have no
+    committed groups yet, so extending is always safe.
+    """
+    _, _, ppath = _paths(out_dir)
+    stored = load_salt_plan(spark, out_dir, scope) if resume else {}
+    fresh = salt_plan(df, pt_col=pt_col, target_group_rows=target_group_rows)
+    new_pts = {pt: n for pt, n in fresh.items() if pt not in stored}
+    if new_pts and resume:
+        spark.createDataFrame(
+            [(scope, pt, int(n)) for pt, n in sorted(new_pts.items())],
+            "scope string, pt string, n_salts int",
+        ).coalesce(1).write.mode("append").parquet(ppath)
+    plan = {pt: stored.get(pt, new_pts.get(pt, 1)) for pt in fresh}
+    # stored pts absent from this df keep their labels for future runs but
+    # contribute no pending groups now
+    return plan
 
 
 def encode_job(
@@ -66,23 +145,34 @@ def encode_job(
     target_group_rows: int = DEFAULT_GROUP_ROWS,
     resume: bool = True,
     max_groups: int | None = None,
+    group_prefix: str = "",
 ) -> dict:
     """Encode ``df`` into out_dir, skipping already-committed groups.
 
-    Returns a summary dict (groups encoded/skipped, bytes).  ``max_groups``
-    caps the number of groups this run commits — used by tests to simulate
-    an interrupted job.
+    Returns a summary dict (groups encoded/skipped/failed, bytes).
+    ``max_groups`` caps the number of groups this run commits — used by
+    tests to simulate an interrupted job.  ``group_prefix`` scopes group
+    labels (streaming passes the epoch id so a new micro-batch never
+    collides with an earlier batch's committed labels).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    bpath, mpath = _paths(out_dir)
+    bpath, mpath, _ = _paths(out_dir)
+    run_path = f"{bpath}/run_id={run_id}"
 
-    splan = salt_plan(df, pt_col=pt_col, target_group_rows=target_group_rows)
-    grouped = with_group(df, splan, pt_col=pt_col, conv_col=conv_col)
+    splan = resolve_salt_plan(
+        spark, df, out_dir, scope=group_prefix, pt_col=pt_col,
+        target_group_rows=target_group_rows, resume=resume,
+    )
+    grouped = with_group(
+        df, splan, pt_col=pt_col, conv_col=conv_col, group_prefix=group_prefix
+    )
 
     # the group universe comes from the (tiny) salt plan — no extra pass over
     # the data; (pt, grp) membership is a pure function of conv_id + plan
     all_groups = [
-        (pt, f"g{s:04d}") for pt, n in sorted(splan.items()) for s in range(n)
+        (pt, f"{group_prefix}g{s:04d}")
+        for pt, n in sorted(splan.items())
+        for s in range(n)
     ]
     n_total = len(all_groups)
     pending = spark.createDataFrame(all_groups, f"{pt_col} string, grp string")
@@ -96,7 +186,8 @@ def encode_job(
         n_pending = pending.count()
     if n_pending == 0:
         return {"run_id": run_id, "groups_total": n_total, "groups_encoded": 0,
-                "groups_skipped": n_total, "orig_bytes": 0, "enc_bytes": 0}
+                "groups_skipped": n_total, "groups_failed": 0,
+                "orig_bytes": 0, "enc_bytes": 0, "n_rows": 0}
 
     if n_pending == n_total:
         todo = grouped  # fresh encode: skip the semi-join entirely
@@ -105,25 +196,38 @@ def encode_job(
     blocks = encode_grouped(
         todo, key_cols=key_cols, pt_col=pt_col, plan=plan,
         block_rows=block_rows, num_partitions=n_pending,
-    ).withColumn("run_id", F.lit(run_id))
+    )
 
-    # 1) durable blocks first … (no partitionBy: each encode task emits one
-    # file; pt lives as a column and readers select via the manifest join,
-    # so hive-style dirs would only multiply small files ~8x)
-    blocks.write.mode("append").option("compression", "zstd").parquet(bpath)
+    # 1) durable blocks first, into THIS run's own partition directory (no
+    # per-pt hive dirs: each encode task emits one file; pt lives as a
+    # column, and readers select via the manifest join)
+    blocks.write.mode("append").option("compression", "zstd").parquet(run_path)
 
-    # 2) … then manifest rows derived from what actually landed on disk
-    written = spark.read.parquet(bpath).filter(F.col("run_id") == run_id)
+    # 2) … then manifest rows derived from what actually landed on disk.
+    # Reading run_path (not the blocks root) means an incremental run's job
+    # graph touches only its own output — never the accumulated history.
+    written = spark.read.parquet(run_path)
+    # a crashed-then-retried run with a pinned run_id appends a second,
+    # bit-identical copy of some blocks; dedup so metrics stay exact
+    wd = Window.partitionBy(pt_col, "grp", "block_id", "column").orderBy("checksum")
+    written = (
+        written.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    is_data = F.col("codec") != ERROR_CODEC
     manifest = (
         written.groupBy(pt_col, "grp")
         .agg(
-            F.count("*").alias("n_blocks"),
+            F.sum(is_data.cast("long")).alias("n_blocks"),
             F.sum(F.when(F.col("col_idx") == 0, F.col("n_rows")).otherwise(0)).alias("n_rows"),
             F.sum("orig_bytes").alias("orig_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
             F.to_json(
                 F.map_from_entries(
-                    F.array_distinct(F.collect_list(F.struct("column", "codec")))
+                    F.array_distinct(
+                        F.collect_list(F.when(is_data, F.struct("column", "codec")))
+                    )
                 )
             ).alias("codecs"),
             F.sha2(
@@ -131,42 +235,52 @@ def encode_job(
                     ",",
                     F.sort_array(
                         F.collect_list(
-                            F.concat_ws(":", F.col("column"), F.col("block_id"), F.col("checksum"))
+                            F.when(
+                                is_data,
+                                F.concat_ws(":", F.col("column"), F.col("block_id"), F.col("checksum")),
+                            )
                         )
                     ),
                 ),
                 256,
             ).alias("checksum"),
+            F.max(F.when(~is_data, F.col("meta"))).alias("error"),
         )
         .withColumn("run_id", F.lit(run_id))
-        .withColumn("status", F.lit("committed"))
+        .withColumn(
+            "status",
+            F.when(F.col("error").isNotNull(), F.lit("failed")).otherwise(F.lit("committed")),
+        )
         .withColumn("committed_at", F.current_timestamp())
         .select(
             pt_col, "grp", "run_id", "n_blocks", "n_rows", "orig_bytes",
-            "enc_bytes", "codecs", "checksum", "status", "committed_at",
+            "enc_bytes", "codecs", "checksum", "status", "committed_at", "error",
         )
     )
     manifest.write.mode("append").parquet(mpath)
 
     m = spark.read.parquet(mpath).filter(F.col("run_id") == run_id)
     agg = m.agg(
-        F.count("*"), F.sum("orig_bytes"), F.sum("enc_bytes"), F.sum("n_rows")
+        F.sum((F.col("status") == "committed").cast("long")),
+        F.sum((F.col("status") == "failed").cast("long")),
+        F.sum("orig_bytes"), F.sum("enc_bytes"), F.sum("n_rows"),
     ).collect()[0]
     return {
         "run_id": run_id,
         "groups_total": n_total,
-        "groups_encoded": agg[0],
+        "groups_encoded": agg[0] or 0,
+        "groups_failed": agg[1] or 0,
         "groups_skipped": n_total - n_pending,
-        "orig_bytes": agg[1] or 0,
-        "enc_bytes": agg[2] or 0,
-        "n_rows": agg[3] or 0,
+        "orig_bytes": agg[2] or 0,
+        "enc_bytes": agg[3] or 0,
+        "n_rows": agg[4] or 0,
     }
 
 
 def committed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     """Blocks joined to the latest committed manifest row per (pt, grp) —
-    orphan blocks from crashed runs are invisible here."""
-    bpath, _ = _paths(out_dir)
+    orphan blocks from crashed runs and failed groups are invisible here."""
+    bpath, _, _ = _paths(out_dir)
     m = read_manifest(spark, out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
@@ -179,8 +293,10 @@ def committed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("pt", "grp", "run_id")
     )
-    blocks = spark.read.parquet(bpath)
-    return blocks.join(F.broadcast(latest), on=["pt", "grp", "run_id"], how="inner")
+    blocks = spark.read.option("basePath", bpath).parquet(bpath)
+    return blocks.filter(F.col("codec") != ERROR_CODEC).join(
+        F.broadcast(latest), on=["pt", "grp", "run_id"], how="inner"
+    )
 
 
 def decode_job(spark: SparkSession, out_dir: str, verify: bool = True) -> DataFrame:

@@ -53,12 +53,15 @@ def with_group(
     plan: dict[str, int],
     pt_col: str = "pt",
     conv_col: str = "conv_id",
+    group_prefix: str = "",
 ) -> DataFrame:
     """Attach the salt-group column ``grp`` (deterministic per conversation).
 
     ``grp = xxhash64(conv) mod n_salts(pt)`` keeps every conversation in one
     group (sorted runs and delta chains survive) while hot partitions fan
-    out over more buckets.
+    out over more buckets.  ``group_prefix`` scopes the labels (streaming
+    passes the epoch id so a new micro-batch can never collide with groups
+    committed by an earlier one).
     """
     entries: list = []
     for k, v in sorted(plan.items()):
@@ -69,4 +72,4 @@ def with_group(
         else F.lit(1)
     )
     grp = F.pmod(F.xxhash64(F.col(conv_col)), n_salts)
-    return df.withColumn("grp", F.format_string("g%04d", grp))
+    return df.withColumn("grp", F.format_string(f"{group_prefix}g%04d", grp))

@@ -37,11 +37,17 @@ def encode_stream(
     def sink(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # group labels are epoch-scoped: a NEW micro-batch's groups can never
+        # collide with labels committed by an earlier batch (same-epoch replay
+        # after a crash still dedups via the manifest anti-join), and the
+        # epoch's salt plan is persisted under the same scope so a replay on
+        # a different-sized cluster keeps identical labels.
         encode_job(
             spark,
             batch_df,
             out_dir,
             run_id=f"stream-{epoch_id:08d}",
+            group_prefix=f"e{epoch_id:08d}-",
             plan=plan,
             **encode_kwargs,
         )

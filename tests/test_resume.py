@@ -53,3 +53,61 @@ def test_manifest_metrics(spark, transcripts, tmp_path):
     assert m["n_rows"].sum() == transcripts.count() == summary["n_rows"]
     assert summary["enc_bytes"] < summary["orig_bytes"]
     assert m["codecs"].str.contains("conv_id").all()
+
+
+def test_manifest_reads_only_own_run(spark, transcripts, tmp_path):
+    """Scale guard: an incremental run's manifest derivation must read only
+    its own run_id directory, never the accumulated block history."""
+    out = str(tmp_path / "enc3")
+    encode_job(spark, transcripts, out, run_id="runA", target_group_rows=4096,
+               max_groups=2)
+    encode_job(spark, transcripts, out, run_id="runB", target_group_rows=4096)
+    import os
+
+    bdir = str(tmp_path / "enc3" / "blocks")
+    assert sorted(os.listdir(bdir)) >= ["run_id=runA", "run_id=runB"]
+    m = read_manifest(spark, out).toPandas()
+    # runB's manifest rows cover only the groups runB encoded (not runA's 2)
+    assert set(m[m.run_id == "runB"][["pt", "grp"]].itertuples(index=False)).isdisjoint(
+        set(m[m.run_id == "runA"][["pt", "grp"]].itertuples(index=False))
+    )
+    pd.testing.assert_frame_equal(_sorted(transcripts), _sorted(decode_job(spark, out)))
+
+
+def test_failed_group_isolated_and_retried(spark, transcripts, tmp_path):
+    """A poisoned group becomes status='failed' (job completes, reference
+    crawler.py:92 behavior); the next run re-attempts exactly those groups."""
+    out = str(tmp_path / "enc4")
+    bad_plan = {"pt-0001/text": "no_such_codec"}  # poison one pt
+    r1 = encode_job(spark, transcripts, out, run_id="bad", plan=bad_plan,
+                    target_group_rows=4096)
+    assert r1["groups_failed"] > 0
+    assert r1["groups_encoded"] + r1["groups_failed"] == r1["groups_total"]
+    m = read_manifest(spark, out).toPandas()
+    failed = m[m.status == "failed"]
+    assert (failed["pt"] == "pt-0001").all() and len(failed) == r1["groups_failed"]
+    assert failed["error"].str.contains("no_such_codec").all()
+    # retry with a sane plan: only the failed groups are re-encoded
+    r2 = encode_job(spark, transcripts, out, run_id="fix", target_group_rows=4096)
+    assert r2["groups_encoded"] == r1["groups_failed"]
+    assert r2["groups_failed"] == 0
+    assert r2["groups_skipped"] == r1["groups_encoded"]
+    pd.testing.assert_frame_equal(_sorted(transcripts), _sorted(decode_job(spark, out)))
+
+
+def test_resume_uses_persisted_salt_plan(spark, transcripts, tmp_path):
+    """Group identity must survive a resume under different sizing knobs:
+    the stored salt plan wins over a recomputation (ADVICE: a different
+    defaultParallelism would otherwise remap conversations)."""
+    from bids2table_spark.manifest import load_salt_plan
+
+    out = str(tmp_path / "enc5")
+    r1 = encode_job(spark, transcripts, out, run_id="a", target_group_rows=1024,
+                    max_groups=3)
+    plan_stored = load_salt_plan(spark, out)
+    assert plan_stored and sum(plan_stored.values()) == r1["groups_total"]
+    # resume with a very different group-size target: labels must not move
+    r2 = encode_job(spark, transcripts, out, run_id="b", target_group_rows=32768)
+    assert r2["groups_total"] == r1["groups_total"]
+    assert r2["groups_skipped"] == 3
+    pd.testing.assert_frame_equal(_sorted(transcripts), _sorted(decode_job(spark, out)))

@@ -32,12 +32,33 @@ def test_streaming_incremental_encode(spark, tmp_path):
     dec = decode_job(spark, out)
     pd.testing.assert_frame_equal(_sorted(tr), _sorted(dec))
 
-    # second batch of files arrives -> only new groups encoded... the same
-    # conversations re-arriving are skipped by the manifest anti-join
+    # restart with no new files: nothing is re-encoded
     q2 = encode_stream(spark, src, out, schema, target_group_rows=4096)
     q2.awaitTermination(120)
     m = read_manifest(spark, out).toPandas()
     assert len(m) == m[["pt", "grp"]].drop_duplicates().shape[0], "no duplicate groups"
+
+
+def test_streaming_second_batch_new_data(spark, tmp_path):
+    """A second micro-batch carrying NEW conversations must be fully encoded
+    (round-1 bug: batch-local group labels collided with committed ones and
+    the anti-join silently dropped all later batches)."""
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "enc2")
+    full = synth_transcripts(spark, n_conv=200, seed=7, n_pt=3).cache()
+    b1 = full.filter("conv_id < 'conv-000000000100'")
+    b2 = full.filter("conv_id >= 'conv-000000000100'")
+    b1.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q1 = encode_stream(spark, src, out, schema, target_group_rows=4096)
+    q1.awaitTermination(120)
+    # new files arrive
+    b2.write.mode("append").parquet(src)
+    q2 = encode_stream(spark, src, out, schema, target_group_rows=4096)
+    q2.awaitTermination(120)
+
+    pd.testing.assert_frame_equal(_sorted(full), _sorted(decode_job(spark, out)))
 
 
 def test_cli_roundtrip(spark, tmp_path):

@@ -72,6 +72,64 @@ def q_transcript_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(blocks)
 
 
+def typed_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic wide-typed view of events: boolean, float32, date,
+    binary, array<float>, array<long>, array<string>, struct — the full
+    round-2 physical type system."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    return ev.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 12, "0")).alias("conv_id"),
+        (rn - 1).cast("int").alias("turn_idx"),
+        (F.col("event_id") % 2 == 0).alias("flag"),
+        F.col("value").cast("float").alias("score"),
+        F.to_date("ts").alias("day"),
+        F.encode(F.coalesce(F.col("props"), F.lit("")), "utf-8").alias("payload"),
+        F.array((F.col("value") * 2).cast("float"), (F.col("value") + 1).cast("float")).alias("vec"),
+        F.array(F.col("user_id"), F.col("event_id")).alias("ids"),
+        F.split(F.col("event_type"), "_").alias("tags"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(None))
+        .otherwise(
+            F.struct(
+                F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int").alias("k"),
+                F.col("event_type").alias("w"),
+            )
+        )
+        .alias("meta"),
+        F.concat(F.lit("pt-"), (F.col("user_id") % 4).cast("string")).alias("pt"),
+    )
+
+
+def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the wide-typed table through the full codec pipeline, then
+    scalarize the nested columns (sums / sizes / md5) so the driver's
+    value-hash check bites.  Matching hashes prove bool/float/date/binary/
+    list/struct all decode bit-identically — the oracle computes the same
+    scalars from the *un-encoded* transform."""
+    from bids2table_spark.decode import decode_table
+    from bids2table_spark.encode import encode_table
+
+    t = typed_from_events(spark, sf_dir)
+    blocks = encode_table(t, block_rows=8192, target_group_rows=65536)
+    dec = decode_table(blocks)
+    return dec.select(
+        "conv_id",
+        "turn_idx",
+        "flag",
+        F.round(F.col("score").cast("double"), 4).alias("score_r"),
+        F.col("day").cast("string").alias("day"),  # ISO string: stable cross-engine dtype
+        F.md5("payload").alias("payload_md5"),
+        F.round(
+            (F.element_at("vec", 1).cast("double") + F.element_at("vec", 2).cast("double")), 4
+        ).alias("vec_sum"),
+        (F.element_at("ids", 1) + F.element_at("ids", 2)).alias("ids_sum"),
+        F.size("tags").alias("n_tags"),
+        F.col("meta.k").alias("meta_k"),
+        F.col("meta.w").alias("meta_w"),
+    )
+
+
 def q_transcript_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec choices + compression metrics per column (rows-only check:
     sizes depend on the kernels, not expressible in SQL)."""
@@ -405,6 +463,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_roundtrip": q_transcript_roundtrip,
+        "typed_roundtrip": q_typed_roundtrip,
         "transcript_codec_stats": q_transcript_codec_stats,
         "key_merge_outer": q_key_merge_outer,
         "resume_anti_join": q_resume_anti_join,
@@ -469,6 +528,21 @@ WHERE a.doc_id < b.doc_id
 def oracle_sql() -> dict[str, str]:
     return {
         "transcript_roundtrip": _TRANSCRIPTS_ORACLE,
+        "typed_roundtrip": """
+            SELECT 'conv-' || lpad(user_id::VARCHAR, 12, '0') AS conv_id,
+                   (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::INTEGER AS turn_idx,
+                   (event_id % 2 = 0) AS flag,
+                   round((value::REAL)::DOUBLE, 4) AS score_r,
+                   (ts::DATE)::VARCHAR AS day,
+                   md5(coalesce(props, '')) AS payload_md5,
+                   round(((value * 2)::REAL::DOUBLE + (value + 1)::REAL::DOUBLE), 4) AS vec_sum,
+                   user_id + event_id AS ids_sum,
+                   len(string_split(event_type, '_')) AS n_tags,
+                   CASE WHEN event_id % 4 <> 0
+                        THEN regexp_extract(props, '"k":\\s*(\\d+)', 1)::INTEGER END AS meta_k,
+                   CASE WHEN event_id % 4 <> 0 THEN event_type END AS meta_w
+            FROM events
+        """,
         # transcript_codec_stats: rows-only (kernel byte sizes not SQL-expressible)
         "key_merge_outer": """
             WITH frag_a AS (

@@ -1,5 +1,5 @@
-"""Block container: the bridge between pandas column chunks (inside
-``applyInPandas``) and the numpy codec kernels.
+"""Block container: the bridge between Arrow column chunks (inside
+``applyInArrow``) and the numpy codec kernels.
 
 One *block* = one column of one row-chunk of one encode group, stored as a
 single row of the blocks table:
@@ -12,6 +12,13 @@ is ``np.packbits``-packed and carried as the first payload section.  The
 checksum is a sha256 over the canonical decoded representation (null-zeroed
 values + validity bitmap) computed at encode time and re-verified after
 decode — the bit-identical round-trip gate.
+
+Physical types cover the reference's full cell type system re-expressed
+columnar: strings, ints (int32/int64), timestamps, doubles, plus the round-2
+widening — boolean, float32, date, binary, and one-level ``list<primitive>``
+(the reference's ndarray extension layout, offsets + flattened values,
+``bids2table/extensions/ndarray.py:50-74``).  Struct columns are flattened a
+layer up (encode.py) so the container only ever sees these physical types.
 
 Reference seam: the opaque-cell + pack/unpack structure of
 ``bids2table/extensions/pickle.py:43-66`` and the per-file integrity records
@@ -28,6 +35,8 @@ import pyarrow as pa
 
 from .codecs import get_codec
 from .codecs.base import (
+    DTYPE_BIN,
+    DTYPE_F32,
     DTYPE_F64,
     DTYPE_I64,
     DTYPE_STR,
@@ -43,6 +52,10 @@ PHYS_LONG = "long"
 PHYS_TS = "timestamp"
 PHYS_TS_NTZ = "timestamp_ntz"
 PHYS_DOUBLE = "double"
+PHYS_BOOL = "boolean"
+PHYS_FLOAT = "float"
+PHYS_DATE = "date"
+PHYS_BIN = "binary"
 
 PHYS_TO_LOGICAL = {
     PHYS_STRING: DTYPE_STR,
@@ -51,6 +64,16 @@ PHYS_TO_LOGICAL = {
     PHYS_TS: DTYPE_I64,
     PHYS_TS_NTZ: DTYPE_I64,
     PHYS_DOUBLE: DTYPE_F64,
+    PHYS_BOOL: DTYPE_I64,
+    PHYS_FLOAT: DTYPE_F32,
+    PHYS_DATE: DTYPE_I64,
+    PHYS_BIN: DTYPE_BIN,
+}
+
+# bytes per value in the *uncompressed* canonical representation
+_PHYS_WIDTH = {
+    PHYS_INT: 4, PHYS_LONG: 8, PHYS_TS: 8, PHYS_TS_NTZ: 8,
+    PHYS_DOUBLE: 8, PHYS_BOOL: 1, PHYS_FLOAT: 4, PHYS_DATE: 4,
 }
 
 BLOCKS_SCHEMA_DDL = (
@@ -58,6 +81,14 @@ BLOCKS_SCHEMA_DDL = (
     "phys string, n_rows long, n_nulls long, meta string, payload binary, "
     "orig_bytes long, enc_bytes long, checksum string"
 )
+
+
+def is_list_phys(phys: str) -> bool:
+    return phys.startswith("list<") and phys.endswith(">")
+
+
+def list_child_phys(phys: str) -> str:
+    return phys[5:-1]
 
 
 def pin_worker_threads() -> None:
@@ -87,40 +118,68 @@ def spark_field_phys(dt) -> str:
         return PHYS_TS
     if isinstance(dt, T.TimestampNTZType):
         return PHYS_TS_NTZ
-    if isinstance(dt, (T.DoubleType, T.FloatType)):
+    if isinstance(dt, T.DoubleType):
         return PHYS_DOUBLE
-    raise TypeError(f"unsupported column type for encoding: {dt}")
+    if isinstance(dt, T.FloatType):
+        return PHYS_FLOAT
+    if isinstance(dt, T.BooleanType):
+        return PHYS_BOOL
+    if isinstance(dt, T.DateType):
+        return PHYS_DATE
+    if isinstance(dt, T.BinaryType):
+        return PHYS_BIN
+    if isinstance(dt, T.ArrayType):
+        child = spark_field_phys(dt.elementType)
+        if is_list_phys(child):
+            raise TypeError(f"nested lists not supported for encoding: {dt}")
+        return f"list<{child}>"
+    raise TypeError(
+        f"unsupported column type for encoding: {dt} "
+        "(struct columns are flattened by encode_table; see encode.py)"
+    )
 
 
 def _to_kernel(series: pd.Series, phys: str) -> tuple[np.ndarray | pd.Series, np.ndarray]:
-    """(valid_values_for_kernel, validity_mask). Timestamps -> epoch ns."""
+    """(valid_values_for_kernel, validity_mask). Timestamps -> epoch ns.
+
+    pandas-path variant kept for the (legacy) applyInPandas encoder and unit
+    tests; the hot path is :func:`_to_kernel_arrow`."""
     mask = series.notna().to_numpy()
     if phys in (PHYS_TS, PHYS_TS_NTZ):
         vals = pd.to_datetime(series).astype("datetime64[ns]").astype(np.int64).to_numpy()
         return vals[mask], mask
-    if phys in (PHYS_INT, PHYS_LONG):
+    if phys in (PHYS_INT, PHYS_LONG, PHYS_BOOL):
         v = series.to_numpy()
-        if v.dtype.kind == "f":  # pandas promoted nullable ints to float
+        if v.dtype.kind in "fO":  # pandas promoted nullable ints/bools
             vals = np.zeros(len(v), dtype=np.int64)
-            vals[mask] = v[mask].astype(np.int64)
+            vals[mask] = np.asarray(v[mask], dtype=np.int64)
             return vals[mask], mask
         return v.astype(np.int64)[mask], mask
+    if phys == PHYS_DATE:
+        days = pd.to_datetime(series).astype("datetime64[D]").astype(np.int64).to_numpy()
+        return days[mask], mask
     if phys == PHYS_DOUBLE:
         return series.to_numpy(dtype=np.float64)[mask], mask
-    # strings
+    if phys == PHYS_FLOAT:
+        return series.to_numpy(dtype=np.float32)[mask], mask
+    # strings / binary
     return series[mask], mask
 
 
-def _canonical_bytes(values, mask: np.ndarray, phys: str) -> bytes:
-    """Canonical byte image of a (valid-values, mask) column for checksums."""
-    h = hashlib.sha256()
-    h.update(np.packbits(mask).tobytes())
-    if phys == PHYS_STRING:
+def _update_values_hash(h, values, phys: str) -> None:
+    if phys in (PHYS_STRING, PHYS_BIN):
         offsets, buf = strings_to_buf(values)
         h.update(offsets.tobytes())
         h.update(buf)
     else:
         h.update(np.ascontiguousarray(values).tobytes())
+
+
+def _canonical_bytes(values, mask: np.ndarray, phys: str) -> str:
+    """Canonical byte image of a (valid-values, mask) column for checksums."""
+    h = hashlib.sha256()
+    h.update(np.packbits(mask).tobytes())
+    _update_values_hash(h, values, phys)
     return h.hexdigest()
 
 
@@ -129,8 +188,7 @@ def _to_kernel_arrow(arr: pa.Array, phys: str):
 
     Returns (valid_values_for_kernel, validity_mask).  Timestamps normalize
     to epoch ns regardless of the arrow unit so checksums agree with the
-    pandas path.
-    """
+    pandas path."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -146,11 +204,26 @@ def _to_kernel_arrow(arr: pa.Array, phys: str):
         unit = t.unit if pa.types.is_timestamp(t) else "us"
         scale = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[unit]
         return vals * np.int64(scale), mask
-    if phys in (PHYS_INT, PHYS_LONG):
+    if phys == PHYS_DATE:
+        # arrow has no direct date32 -> int64 cast; hop through int32 days
+        return (
+            valid_arr.cast(pa.int32()).cast(pa.int64()).to_numpy(zero_copy_only=False),
+            mask,
+        )
+    if phys in (PHYS_INT, PHYS_LONG, PHYS_BOOL):
         return valid_arr.cast(pa.int64()).to_numpy(zero_copy_only=False), mask
     if phys == PHYS_DOUBLE:
         return valid_arr.cast(pa.float64()).to_numpy(zero_copy_only=False), mask
-    return valid_arr, mask  # strings stay as an arrow array
+    if phys == PHYS_FLOAT:
+        return valid_arr.cast(pa.float32()).to_numpy(zero_copy_only=False), mask
+    return valid_arr, mask  # strings / binary stay as arrow arrays
+
+
+def _orig_bytes(values, phys: str, n: int) -> int:
+    if phys in (PHYS_STRING, PHYS_BIN):
+        offs, _ = strings_to_buf(values)
+        return int(offs[-1]) + 8 * n
+    return _PHYS_WIDTH[phys] * n
 
 
 def encode_block_arrow(
@@ -163,6 +236,8 @@ def encode_block_arrow(
     codec_name: str,
 ) -> dict:
     """Arrow-native encode of one column chunk into a block-row dict."""
+    if is_list_phys(phys):
+        return _encode_list_block(pt, grp, block_id, column, arr, phys, codec_name)
     logical = PHYS_TO_LOGICAL[phys]
     valid, mask = _to_kernel_arrow(arr, phys)
     n = len(arr)
@@ -174,11 +249,6 @@ def encode_block_arrow(
         payload = mask_b + payload
         meta = dict(meta)
         meta["mask_bytes"] = len(mask_b)
-    if phys == PHYS_STRING:
-        offs, _ = strings_to_buf(valid)
-        orig = int(offs[-1]) + 8 * n
-    else:
-        orig = 8 * n
     return {
         "pt": pt,
         "grp": grp,
@@ -190,7 +260,7 @@ def encode_block_arrow(
         "n_nulls": n_nulls,
         "meta": meta_dumps(meta),
         "payload": payload,
-        "orig_bytes": orig,
+        "orig_bytes": _orig_bytes(valid, phys, n),
         "enc_bytes": len(payload),
         "checksum": _canonical_bytes(valid, mask, phys),
     }
@@ -205,7 +275,12 @@ def encode_block(
     phys: str,
     codec_name: str,
 ) -> dict:
-    """Encode one column chunk into a block-row dict."""
+    """Encode one column chunk into a block-row dict (pandas path)."""
+    if is_list_phys(phys):
+        arr = pa.Array.from_pandas(series)
+        return _encode_list_block(pt, grp, 0, column, arr, phys, codec_name) | {
+            "block_id": block_id
+        }
     logical = PHYS_TO_LOGICAL[phys]
     valid, mask = _to_kernel(series, phys)
     n = len(series)
@@ -217,11 +292,6 @@ def encode_block(
         payload = mask_b + payload
         meta = dict(meta)
         meta["mask_bytes"] = len(mask_b)
-    if phys == PHYS_STRING:
-        offs, buf = strings_to_buf(series.fillna(""))
-        orig = int(offs[-1]) + 8 * n
-    else:
-        orig = 8 * n
     return {
         "pt": pt,
         "grp": grp,
@@ -233,22 +303,149 @@ def encode_block(
         "n_nulls": n_nulls,
         "meta": meta_dumps(meta),
         "payload": payload,
-        "orig_bytes": orig,
+        "orig_bytes": _orig_bytes(valid, phys, n),
         "enc_bytes": len(payload),
         "checksum": _canonical_bytes(valid, mask, phys),
     }
+
+
+# ----------------------------------------------------------------- list<T>
+
+
+def _list_canonical(
+    mask: np.ndarray, offsets: np.ndarray, child_valid, child_mask: np.ndarray, child_phys: str
+) -> str:
+    h = hashlib.sha256()
+    h.update(np.packbits(mask).tobytes())
+    h.update(np.ascontiguousarray(offsets, dtype=np.int64).tobytes())
+    h.update(np.packbits(child_mask).tobytes())
+    _update_values_hash(h, child_valid, child_phys)
+    return h.hexdigest()
+
+
+def _encode_list_block(
+    pt: str, grp: str, block_id: int, column: str, arr: pa.Array, phys: str, codec_name: str
+) -> dict:
+    """list<primitive> layout (the reference ndarray extension re-expressed
+    columnar, ``bids2table/extensions/ndarray.py:50-74``): delta-packed
+    offsets + the flattened child values encoded with a normal kernel.
+
+    ``codec_name`` names the CHILD codec (the offsets are always
+    delta+bitpacked — they are monotone by construction)."""
+    import pyarrow.compute as pc
+
+    from .codecs.base import pack_sections
+
+    child_phys = list_child_phys(phys)
+    child_logical = PHYS_TO_LOGICAL[child_phys]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if arr.null_count:
+        mask = arr.is_valid().to_numpy(zero_copy_only=False)
+        valid_arr = arr.drop_null()
+    else:
+        mask = np.ones(n, dtype=bool)
+        valid_arr = arr
+    lengths = pc.list_value_length(valid_arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lengths)])
+    flat = pc.list_flatten(valid_arr)  # honors slices; only valid lists' values
+    child_valid, child_mask = _to_kernel_arrow(flat, child_phys)
+
+    offs_meta, offs_payload = get_codec("delta").encode(offsets, DTYPE_I64)
+    cmeta, cpayload = get_codec(codec_name).encode(child_valid, child_logical)
+    sections = [offs_payload]
+    child_has_nulls = bool((~child_mask).any())
+    if child_has_nulls:
+        sections.append(np.packbits(child_mask).tobytes())
+    sections.append(cpayload)
+    lens, payload = pack_sections(sections)
+    meta = {
+        "sections": lens,
+        "offsets": offs_meta,
+        "child": cmeta,
+        "child_n": int(len(child_mask)),
+        "child_nulls": child_has_nulls,
+    }
+    n_nulls = int(n - mask.sum())
+    if n_nulls:
+        mask_b = np.packbits(mask).tobytes()
+        payload = mask_b + payload
+        meta["mask_bytes"] = len(mask_b)
+    return {
+        "pt": pt,
+        "grp": grp,
+        "block_id": block_id,
+        "column": column,
+        "codec": codec_name,
+        "phys": phys,
+        "n_rows": n,
+        "n_nulls": n_nulls,
+        "meta": meta_dumps(meta),
+        "payload": payload,
+        "orig_bytes": 8 * n + _orig_bytes(child_valid, child_phys, int(len(child_mask))),
+        "enc_bytes": len(payload),
+        "checksum": _list_canonical(mask, offsets, child_valid, child_mask, child_phys),
+    }
+
+
+def _decode_list_block(row, meta: dict, payload: bytes, verify: bool) -> pa.Array:
+    from .codecs.base import split_sections
+
+    phys = row["phys"]
+    child_phys = list_child_phys(phys)
+    child_logical = PHYS_TO_LOGICAL[child_phys]
+    n = int(row["n_rows"])
+    n_nulls = int(row["n_nulls"])
+    if n_nulls:
+        mask_b = meta["mask_bytes"]
+        mask = np.unpackbits(np.frombuffer(payload[:mask_b], dtype=np.uint8), count=n).astype(bool)
+        payload = payload[mask_b:]
+    else:
+        mask = np.ones(n, dtype=bool)
+    parts = split_sections(meta["sections"], payload)
+    n_valid = int(mask.sum())
+    offsets = get_codec("delta").decode(meta["offsets"], parts[0], n_valid + 1, DTYPE_I64)
+    child_n = int(meta["child_n"])
+    if meta.get("child_nulls"):
+        child_mask = np.unpackbits(
+            np.frombuffer(parts[1], dtype=np.uint8), count=child_n
+        ).astype(bool)
+        cpayload = parts[2]
+    else:
+        child_mask = np.ones(child_n, dtype=bool)
+        cpayload = parts[1]
+    child_valid = get_codec(row["codec"]).decode(
+        meta["child"], cpayload, int(child_mask.sum()), child_logical
+    )
+    if verify:
+        got = _list_canonical(mask, offsets, child_valid, child_mask, child_phys)
+        if got != row["checksum"]:
+            raise ValueError(
+                f"checksum mismatch for block {row['pt']}/{row['grp']}/"
+                f"{row['block_id']}/{row['column']}"
+            )
+    child_arr = _to_arrow(child_valid, child_mask, child_phys)
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), child_arr)
+    if bool(mask.all()):
+        return lists
+    idx = np.cumsum(mask) - 1
+    indices = pa.array(np.where(mask, idx, 0), type=pa.int64(), mask=~mask)
+    return lists.take(indices)
 
 
 def decode_block(row: dict | pd.Series, verify: bool = True) -> pa.Array:
     """Decode one block row back to a pyarrow array (with nulls)."""
     meta = meta_loads(row["meta"])
     phys = row["phys"]
-    logical = PHYS_TO_LOGICAL[phys]
-    n = int(row["n_rows"])
-    n_nulls = int(row["n_nulls"])
     payload = row["payload"]
     if isinstance(payload, (bytearray, memoryview)):
         payload = bytes(payload)
+    if is_list_phys(phys):
+        return _decode_list_block(row, meta, payload, verify)
+    logical = PHYS_TO_LOGICAL[phys]
+    n = int(row["n_rows"])
+    n_nulls = int(row["n_nulls"])
     if n_nulls:
         mask_b = meta["mask_bytes"]
         mask = np.unpackbits(
@@ -272,13 +469,18 @@ def decode_block(row: dict | pd.Series, verify: bool = True) -> pa.Array:
 def _to_arrow(valid, mask: np.ndarray, phys: str) -> pa.Array:
     n = len(mask)
     all_valid = bool(mask.all())
-    if phys == PHYS_STRING:
-        arr = valid if isinstance(valid, pa.Array) else pa.array(valid, type=pa.large_string())
+    if phys in (PHYS_STRING, PHYS_BIN):
+        if phys == PHYS_BIN:
+            target = pa.binary()
+            arr = valid if isinstance(valid, pa.Array) else pa.array(valid, type=pa.large_binary())
+        else:
+            target = pa.string()
+            arr = valid if isinstance(valid, pa.Array) else pa.array(valid, type=pa.large_string())
         if all_valid:
-            return arr.cast(pa.string())
+            return arr.cast(target)
         idx = np.cumsum(mask) - 1  # position of each row in the valid array
         indices = pa.array(np.where(mask, idx, 0), type=pa.int64(), mask=~mask)
-        return arr.take(indices).cast(pa.string())
+        return arr.take(indices).cast(target)
     vals = np.asarray(valid)
     full = np.zeros(n, dtype=vals.dtype if len(vals) else np.int64)
     full[mask] = vals
@@ -289,4 +491,10 @@ def _to_arrow(valid, mask: np.ndarray, phys: str) -> pa.Array:
         return pa.array(full.astype(np.int32), type=pa.int32(), mask=null_mask)
     if phys == PHYS_LONG:
         return pa.array(full.astype(np.int64), type=pa.int64(), mask=null_mask)
+    if phys == PHYS_BOOL:
+        return pa.array(full.astype(bool), type=pa.bool_(), mask=null_mask)
+    if phys == PHYS_DATE:
+        return pa.array(full.astype(np.int32), type=pa.date32(), mask=null_mask)
+    if phys == PHYS_FLOAT:
+        return pa.array(full.astype(np.float32), type=pa.float32(), mask=null_mask)
     return pa.array(full.astype(np.float64), type=pa.float64(), mask=null_mask)

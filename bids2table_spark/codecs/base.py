@@ -19,10 +19,14 @@ from typing import Protocol
 import numpy as np
 
 # Logical dtypes the engine encodes.  Timestamps travel as "i64" (epoch
-# nanoseconds); the container layer does the ns<->timestamp conversion.
+# nanoseconds), dates as "i64" days, booleans as "i64" 0/1; the container
+# layer does those conversions.  "bin" shares the string kernels (both are
+# offsets + byte blob); "f32" keeps float columns at 4 bytes.
 DTYPE_STR = "str"
 DTYPE_I64 = "i64"
 DTYPE_F64 = "f64"
+DTYPE_F32 = "f32"
+DTYPE_BIN = "bin"
 
 
 class Codec(Protocol):
@@ -58,17 +62,26 @@ def meta_loads(s: str) -> dict:
 
 
 def strings_to_buf(values) -> tuple[np.ndarray, bytes]:
-    """Canonical (offsets, utf8-concat) view of a string array via Arrow
-    buffers — zero per-string Python.
+    """Canonical (offsets, byte-concat) view of a string OR binary array via
+    Arrow buffers — zero per-item Python.
 
-    ``offsets`` has n+1 entries (int64); string i is buf[offsets[i]:offsets[i+1]].
+    ``offsets`` has n+1 entries (int64); item i is buf[offsets[i]:offsets[i+1]].
     """
     import pyarrow as pa
 
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
     if isinstance(values, pa.Array):
-        arr = values.cast(pa.large_string())
-    elif isinstance(values, pa.ChunkedArray):
-        arr = values.combine_chunks().cast(pa.large_string())
+        target = (
+            pa.large_binary()
+            if pa.types.is_binary(values.type) or pa.types.is_large_binary(values.type)
+            else pa.large_string()
+        )
+        arr = values.cast(target)
+    elif len(values) and isinstance(
+        values[0] if not hasattr(values, "iloc") else values.iloc[0], (bytes, bytearray)
+    ):
+        arr = pa.array(values, type=pa.large_binary())
     else:
         arr = pa.array(values, type=pa.large_string())
     if arr.null_count:
@@ -86,13 +99,13 @@ def strings_to_buf(values) -> tuple[np.ndarray, bytes]:
     return (raw_off - raw_off[0]).copy(), buf
 
 
-def buf_to_strings(offsets: np.ndarray, buf: bytes):
-    """Inverse of :func:`strings_to_buf`; returns a pyarrow LargeStringArray
-    (accepted by pandas/Arrow batch assembly without copying per string)."""
+def buf_to_strings(offsets: np.ndarray, buf: bytes, binary: bool = False):
+    """Inverse of :func:`strings_to_buf`; returns a pyarrow LargeString (or
+    LargeBinary) array — accepted by Arrow batch assembly without per-item
+    copies."""
     import pyarrow as pa
 
     n = len(offsets) - 1
     off_buf = pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64).tobytes())
-    return pa.Array.from_buffers(
-        pa.large_string(), n, [None, off_buf, pa.py_buffer(buf)]
-    )
+    t = pa.large_binary() if binary else pa.large_string()
+    return pa.Array.from_buffers(t, n, [None, off_buf, pa.py_buffer(buf)])

@@ -11,7 +11,7 @@ import numpy as np
 import pandas as pd
 
 from . import bitpack as bp
-from .base import DTYPE_I64, DTYPE_STR, buf_to_strings, pack_sections, split_sections, strings_to_buf
+from .base import DTYPE_BIN, DTYPE_I64, DTYPE_STR, buf_to_strings, pack_sections, split_sections, strings_to_buf
 
 
 def factorize_block(values) -> tuple[np.ndarray, "object"]:
@@ -28,6 +28,8 @@ def factorize_block(values) -> tuple[np.ndarray, "object"]:
         arr = pa.Array.from_pandas(pd.Series(values, copy=False))
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         arr = arr.cast(pa.large_string())
+    elif pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
     d = arr.dictionary_encode()
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     return codes, d.dictionary
@@ -48,7 +50,7 @@ def encode_uniques(uniques) -> tuple[dict, list[bytes]]:
     return {}, [off_b, buf]
 
 
-def decode_uniques(meta: dict, sections: list[bytes]):
+def decode_uniques(meta: dict, sections: list[bytes], binary: bool = False):
     from . import fsst
 
     offsets = bp.decode_i64(sections[0])
@@ -56,17 +58,17 @@ def decode_uniques(meta: dict, sections: list[bytes]):
         buf = fsst.decode_bytes(meta["uniq_fsst"], sections[1:4])
     else:
         buf = sections[1]
-    return buf_to_strings(offsets, buf)
+    return buf_to_strings(offsets, buf, binary=binary)
 
 
 class DictCodec:
     name = "dict"
-    dtypes = (DTYPE_STR, DTYPE_I64)
+    dtypes = (DTYPE_STR, DTYPE_BIN, DTYPE_I64)
 
     def encode(self, values, dtype: str) -> tuple[dict, bytes]:
         codes, uniques = factorize_block(values)
         code_b = bp.encode_i64(codes)
-        if dtype == DTYPE_STR:
+        if dtype in (DTYPE_STR, DTYPE_BIN):
             extra, usec = encode_uniques(uniques)
             lens, payload = pack_sections([code_b] + usec)
             return {"sections": lens, "ndv": int(len(uniques)), **extra}, payload
@@ -79,8 +81,8 @@ class DictCodec:
     def decode(self, meta: dict, payload: bytes, n: int, dtype: str):
         parts = split_sections(meta["sections"], payload)
         codes = bp.decode_i64(parts[0])
-        if dtype == DTYPE_STR:
-            uniques = decode_uniques(meta, parts[1:])
+        if dtype in (DTYPE_STR, DTYPE_BIN):
+            uniques = decode_uniques(meta, parts[1:], binary=dtype == DTYPE_BIN)
             return uniques.take(codes)  # arrow take — vectorized
         uniques = bp.decode_i64(parts[1])
         return uniques[codes]

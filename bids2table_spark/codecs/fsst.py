@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import bitpack as bp
-from .base import DTYPE_STR, buf_to_strings, pack_sections, split_sections, strings_to_buf
+from .base import DTYPE_BIN, DTYPE_STR, buf_to_strings, pack_sections, split_sections, strings_to_buf
 
 ESCAPE = 255
 MAX_SYMBOLS = 255  # codes 0..254
@@ -419,7 +419,7 @@ def decode_bytes(meta: dict, sections: list[bytes]) -> bytes:
 
 class FsstCodec:
     name = "fsst"
-    dtypes = (DTYPE_STR,)
+    dtypes = (DTYPE_STR, DTYPE_BIN)
 
     def encode(self, values, dtype: str) -> tuple[dict, bytes]:
         offsets, raw = strings_to_buf(values)
@@ -430,4 +430,6 @@ class FsstCodec:
     def decode(self, meta: dict, payload: bytes, n: int, dtype: str):
         off_b, *fsections = split_sections(meta["sections"], payload)
         offsets = bp.decode_i64(off_b)
-        return buf_to_strings(offsets, decode_bytes(meta, fsections))
+        return buf_to_strings(
+            offsets, decode_bytes(meta, fsections), binary=dtype == DTYPE_BIN
+        )

@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 
 from . import bitpack as bp
-from .base import DTYPE_I64, DTYPE_STR, buf_to_strings, pack_sections, split_sections, strings_to_buf
+from .base import DTYPE_BIN, DTYPE_I64, DTYPE_STR, buf_to_strings, pack_sections, split_sections, strings_to_buf
 from .dictionary import factorize_block
 
 
@@ -29,10 +29,10 @@ def run_starts(codes: np.ndarray) -> np.ndarray:
 
 class RleCodec:
     name = "rle"
-    dtypes = (DTYPE_STR, DTYPE_I64)
+    dtypes = (DTYPE_STR, DTYPE_BIN, DTYPE_I64)
 
     def encode(self, values, dtype: str) -> tuple[dict, bytes]:
-        if dtype == DTYPE_STR:
+        if dtype in (DTYPE_STR, DTYPE_BIN):
             codes, uniques = factorize_block(values)
         else:
             codes = np.ascontiguousarray(values, dtype=np.int64)
@@ -43,7 +43,7 @@ class RleCodec:
         run_lens = np.diff(np.append(idx, len(codes)))
         sections = [bp.encode_i64(run_vals), bp.encode_i64(run_lens)]
         extra: dict = {}
-        if dtype == DTYPE_STR:
+        if dtype in (DTYPE_STR, DTYPE_BIN):
             from .dictionary import encode_uniques
 
             extra, usec = encode_uniques(uniques)
@@ -56,9 +56,9 @@ class RleCodec:
         run_vals = bp.decode_i64(parts[0])
         run_lens = bp.decode_i64(parts[1])
         codes = np.repeat(run_vals, run_lens)
-        if dtype == DTYPE_STR:
+        if dtype in (DTYPE_STR, DTYPE_BIN):
             from .dictionary import decode_uniques
 
-            uniques = decode_uniques(meta, parts[2:])
+            uniques = decode_uniques(meta, parts[2:], binary=dtype == DTYPE_BIN)
             return uniques.take(codes)
         return codes

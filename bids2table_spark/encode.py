@@ -98,6 +98,35 @@ def make_encode_fn(
     return encode_group
 
 
+def flatten_struct_columns(df):
+    """Flatten struct columns to ``parent·child`` leaf columns (one level),
+    plus a ``parent.__defined__`` boolean recording struct-level nullity so
+    decode can distinguish a NULL struct from a struct of NULLs.
+
+    The block container then only ever sees primitive/list physical types;
+    decode_table reassembles the structs (column-name contract, not a
+    side-channel).  Reference parity: nested records flattened to columns,
+    ``bids2table/schema.py:101-150``."""
+    from pyspark.sql import functions as F, types as T
+
+    if not any(isinstance(f.dataType, T.StructType) for f in df.schema.fields):
+        return df
+    out = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            out.append(F.col(f.name).isNotNull().alias(f"{f.name}·__defined__"))
+            for sub in f.dataType.fields:
+                if isinstance(sub.dataType, T.StructType):
+                    raise TypeError(
+                        f"struct flattening is one level deep; nested struct "
+                        f"field {f.name}.{sub.name} not supported"
+                    )
+                out.append(F.col(f.name).getField(sub.name).alias(f"{f.name}·{sub.name}"))
+        else:
+            out.append(F.col(f.name))
+    return df.select(out)
+
+
 def encode_table(
     df,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
@@ -115,6 +144,7 @@ def encode_table(
     precomputed salt plan (it is also the resume granularity, so reusing it
     keeps groups stable across runs).
     """
+    df = flatten_struct_columns(df)
     if splan is None:
         splan = salt_plan(df, pt_col=pt_col, target_group_rows=target_group_rows)
     grouped = with_group(df, splan, pt_col=pt_col, conv_col=conv_col)

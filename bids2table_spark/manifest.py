@@ -37,7 +37,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .decode import decode_table
-from .encode import ERROR_CODEC, encode_grouped
+from .encode import ERROR_CODEC, encode_grouped, flatten_struct_columns
 from .partitioning import DEFAULT_GROUP_ROWS, salt_plan, with_group
 
 MANIFEST_DDL = (
@@ -159,6 +159,7 @@ def encode_job(
     bpath, mpath, _ = _paths(out_dir)
     run_path = f"{bpath}/run_id={run_id}"
 
+    df = flatten_struct_columns(df)
     splan = resolve_salt_plan(
         spark, df, out_dir, scope=group_prefix, pt_col=pt_col,
         target_group_rows=target_group_rows, resume=resume,

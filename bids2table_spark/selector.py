@@ -78,13 +78,18 @@ def estimate_str_sizes(series) -> dict[str, float]:
         n = len(arr)
         if n == 0:
             return {"plain": 0.0}
-        arr = arr.cast(pa.large_string())
     else:
         vals = series.dropna()
         n = len(vals)
         if n == 0:
             return {"plain": 0.0}
-        arr = pa.Array.from_pandas(vals).cast(pa.large_string())
+        arr = pa.Array.from_pandas(vals)
+    big = (
+        pa.large_binary()
+        if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
+        else pa.large_string()
+    )
+    arr = arr.cast(big)
     d = arr.dictionary_encode()
     ndv = len(d.dictionary)
     codes = d.indices.to_numpy(zero_copy_only=False)
@@ -111,14 +116,30 @@ def estimate_str_sizes(series) -> dict[str, float]:
 
 def choose_codec_local(series, phys: str) -> str:
     """Cost-model pick for one block (exact stats, data already in memory).
-    Accepts a pandas Series or a pyarrow Array."""
+    Accepts a pandas Series or a pyarrow Array.  For list<T> columns the
+    choice is made on the flattened child values (the codec names the CHILD
+    kernel; offsets are always delta-packed)."""
     import pyarrow as pa
 
-    if phys in ("int", "long", "timestamp", "timestamp_ntz"):
+    from .blocks import is_list_phys, list_child_phys
+
+    if is_list_phys(phys):
+        import pyarrow.compute as pc
+
+        arr = series if isinstance(series, (pa.Array, pa.ChunkedArray)) else pa.Array.from_pandas(series)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = pc.list_flatten(arr.drop_null() if arr.null_count else arr)
+        return choose_codec_local(flat, list_child_phys(phys))
+    if phys in ("int", "long", "timestamp", "timestamp_ntz", "boolean", "date"):
         if isinstance(series, (pa.Array, pa.ChunkedArray)):
             from .blocks import _to_kernel_arrow
 
             vals, _ = _to_kernel_arrow(series, phys)
+        elif phys in ("boolean", "date"):
+            from .blocks import _to_kernel
+
+            vals, _ = _to_kernel(series, phys)
         else:
             v = series.dropna()
             if phys.startswith("timestamp"):
@@ -126,9 +147,9 @@ def choose_codec_local(series, phys: str) -> str:
             else:
                 vals = v.to_numpy(dtype=np.int64, na_value=0) if v.dtype.kind == "f" else v.to_numpy().astype(np.int64)
         est = estimate_int_sizes(vals)
-    elif phys == "string":
+    elif phys in ("string", "binary"):
         est = estimate_str_sizes(series)
-    else:  # double: only plain implemented
+    else:  # double / float: only plain implemented (ALP lands in codecs/alp.py)
         return "plain"
     return min(est.items(), key=lambda kv: (kv[1], kv[0]))[0]
 
@@ -143,7 +164,7 @@ def build_plan(stats_pdf: pd.DataFrame) -> dict[str, str]:
     for _, r in stats_pdf.iterrows():
         n = max(int(r["n"]), 1)
         phys = r["phys"]
-        if phys in ("int", "long", "timestamp", "timestamp_ntz"):
+        if phys in ("int", "long", "timestamp", "timestamp_ntz", "boolean", "date"):
             w_runs = bit_width(n)
             est = {
                 "plain": 8.0 * n,
@@ -151,7 +172,7 @@ def build_plan(stats_pdf: pd.DataFrame) -> dict[str, str]:
                 "delta": r["w_delta"] * n / 8 + 48,
                 "rle": r["runs"] * (r["w_for"] + w_runs) / 8 + 64,
             }
-        elif phys == "string":
+        elif phys in ("string", "binary"):
             ndv, total = float(r["ndv"]), float(r["total_bytes"])
             code_bits = bit_width(max(int(ndv) - 1, 0))
             dict_bytes = total * ndv / n + 8 * ndv

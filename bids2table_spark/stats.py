@@ -41,11 +41,11 @@ def _col_stats(pt: str, name: str, phys: str, series: pd.Series) -> dict:
     valid = series.dropna()
     if len(valid) == 0:
         return out
-    if phys in ("int", "long", "timestamp", "timestamp_ntz"):
-        if phys.startswith("timestamp"):
-            vals = pd.to_datetime(valid).astype("datetime64[ns]").astype(np.int64).to_numpy()
-        else:
-            vals = valid.to_numpy().astype(np.int64)
+    if phys in ("int", "long", "timestamp", "timestamp_ntz", "boolean", "date"):
+        from .blocks import _to_kernel
+
+        vals, _ = _to_kernel(valid, phys)
+        vals = np.asarray(vals, dtype=np.int64)
         out["ndv"] = int(pd.unique(vals).size)
         out["w_for"] = bit_width(int(vals.max()) - int(vals.min()))
         if len(vals) > 1:
@@ -59,10 +59,16 @@ def _col_stats(pt: str, name: str, phys: str, series: pd.Series) -> dict:
         else:
             out["runs"] = 1
         out["total_bytes"] = 8 * len(vals)
-    elif phys == "string":
+    elif phys in ("string", "binary"):
         import pyarrow as pa
 
-        arr = pa.Array.from_pandas(valid).cast(pa.large_string())
+        arr = pa.Array.from_pandas(valid)
+        big = (
+            pa.large_binary()
+            if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
+            else pa.large_string()
+        )
+        arr = arr.cast(big)
         d = arr.dictionary_encode()
         codes = d.indices.to_numpy(zero_copy_only=False)
         out["ndv"] = len(d.dictionary)
@@ -75,10 +81,18 @@ def _col_stats(pt: str, name: str, phys: str, series: pd.Series) -> dict:
             table = fsst_mod._Table(fsst_mod.build_table(sample))
             stream = fsst_mod.compress(sample, table)
             out["fsst_sample_ratio"] = float(len(stream) + 8 * len(table.symbols)) / len(sample)
-    else:  # double
+    else:  # double / float
         out["ndv"] = int(pd.unique(valid).size)
         out["total_bytes"] = 8 * len(valid)
     return out
+
+
+# phys tags the sampling pass understands; list<T> columns are skipped here
+# and fall back to the per-block local choice inside the encode UDF
+_STATS_PHYS = (
+    "int", "long", "timestamp", "timestamp_ntz", "boolean", "date",
+    "string", "binary", "double", "float",
+)
 
 
 def sample_stats(
@@ -89,7 +103,15 @@ def sample_stats(
     seed: int = 7,
 ):
     """Per-(pt, column) stats DataFrame from a seeded sample of the table."""
-    fields = [(f.name, spark_field_phys(f.dataType)) for f in df.schema.fields if f.name != pt_col]
+    from .encode import flatten_struct_columns
+
+    df = flatten_struct_columns(df)
+    fields = [
+        (f.name, spark_field_phys(f.dataType))
+        for f in df.schema.fields
+        if f.name != pt_col
+    ]
+    fields = [(n, p) for n, p in fields if p in _STATS_PHYS]
     sampled = df.sample(fraction=min(1.0, fraction), seed=seed)
 
     def per_pt(key, pdf):

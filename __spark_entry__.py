@@ -67,7 +67,7 @@ def q_transcript_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bids2table_spark.stats import plan_from_stats
 
     tr = transcripts_from_events(spark, sf_dir)
-    plan = plan_from_stats(tr, fraction=0.3)
+    plan = plan_from_stats(tr)  # default 5% sample — plenty for codec ranking
     blocks = encode_table(tr, plan=plan, block_rows=8192, target_group_rows=65536)
     return decode_table(blocks)
 
@@ -97,6 +97,7 @@ def typed_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("meta"),
+        F.col("value").alias("val"),  # 2-decimal metric: the ALP target
         F.concat(F.lit("pt-"), (F.col("user_id") % 4).cast("string")).alias("pt"),
     )
 
@@ -127,27 +128,60 @@ def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tags").alias("n_tags"),
         F.col("meta.k").alias("meta_k"),
         F.col("meta.w").alias("meta_w"),
+        "val",  # raw double: bit-identity means no rounding needed
     )
 
 
+def _codec_invariants(blocks, expected: dict[str, str] | None = None) -> DataFrame:
+    """Per-column invariants the DuckDB oracle can state independently:
+    sum(n_rows) == table count, every chosen codec is registered, encoded
+    never exceeds canonical size (+small header slack), and — where the
+    cost model's choice is data-forced — the expected codec was picked."""
+    from bids2table_spark.codecs import CODECS
+
+    known = F.col("codec").isin(*[F.lit(c) for c in CODECS])
+    checks = blocks.groupBy(F.col("column").alias("col_name")).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.bool_and(known).alias("codec_known"),
+        F.bool_and(F.col("enc_bytes") <= F.col("orig_bytes") + 64).alias("enc_le_orig"),
+        F.array_sort(F.collect_set("codec")).alias("_codecs"),
+    )
+    exp = F.lit(True)
+    if expected:
+        exp = F.coalesce(
+            *[
+                F.when(F.col("col_name") == c, F.array_contains("_codecs", name))
+                for c, name in expected.items()
+            ],
+            F.lit(True),
+        )
+    return checks.select(
+        "col_name", "n_rows", "codec_known", "enc_le_orig", exp.alias("expected_codec")
+    ).orderBy("col_name")
+
+
 def q_transcript_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec choices + compression metrics per column (rows-only check:
-    sizes depend on the kernels, not expressible in SQL)."""
+    """C6 selector invariants, oracle-checkable (round-1 was rows-only):
+    per column, the block rows must cover every input row exactly once, use
+    only registered codecs, and never exceed the canonical size."""
     from bids2table_spark.encode import encode_table
     from bids2table_spark.stats import plan_from_stats
 
     tr = transcripts_from_events(spark, sf_dir)
-    plan = plan_from_stats(tr, fraction=0.3)
+    plan = plan_from_stats(tr)
     blocks = encode_table(tr, plan=plan, block_rows=8192, target_group_rows=65536)
-    return (
-        blocks.groupBy("column", "codec")
-        .agg(
-            F.sum("orig_bytes").alias("orig_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.count("*").alias("n_blocks"),
-        )
-        .orderBy("column", "codec")
-    )
+    return _codec_invariants(blocks)
+
+
+def q_typed_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same invariants over the wide-typed table, plus the data-forced codec
+    expectations: 2-decimal doubles -> alp, monotone per-conv timestamps are
+    delta-friendly (asserted only where forced by construction)."""
+    from bids2table_spark.encode import encode_table
+
+    t = typed_from_events(spark, sf_dir)
+    blocks = encode_table(t, block_rows=8192, target_group_rows=65536)
+    return _codec_invariants(blocks, expected={"val": "alp"})
 
 
 # ----------------------------------------------------- reference operators
@@ -465,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_roundtrip": q_transcript_roundtrip,
         "typed_roundtrip": q_typed_roundtrip,
         "transcript_codec_stats": q_transcript_codec_stats,
+        "typed_codec_stats": q_typed_codec_stats,
         "key_merge_outer": q_key_merge_outer,
         "resume_anti_join": q_resume_anti_join,
         "dedup_keep_last": q_dedup_keep_last,
@@ -540,10 +575,25 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(event_type, '_')) AS n_tags,
                    CASE WHEN event_id % 4 <> 0
                         THEN regexp_extract(props, '"k":\\s*(\\d+)', 1)::INTEGER END AS meta_k,
-                   CASE WHEN event_id % 4 <> 0 THEN event_type END AS meta_w
+                   CASE WHEN event_id % 4 <> 0 THEN event_type END AS meta_w,
+                   value AS val
             FROM events
         """,
-        # transcript_codec_stats: rows-only (kernel byte sizes not SQL-expressible)
+        "transcript_codec_stats": f"""
+            WITH tr AS ({_TRANSCRIPTS_ORACLE})
+            SELECT col_name, (SELECT count(*) FROM tr) AS n_rows,
+                   true AS codec_known, true AS enc_le_orig, true AS expected_codec
+            FROM (VALUES ('conv_id'),('role'),('text'),('tool'),('ts'),('turn_idx')) c(col_name)
+            ORDER BY col_name
+        """,
+        "typed_codec_stats": """
+            SELECT col_name, (SELECT count(*) FROM events) AS n_rows,
+                   true AS codec_known, true AS enc_le_orig, true AS expected_codec
+            FROM (VALUES ('conv_id'),('day'),('flag'),('ids'),('meta·__defined__'),
+                         ('meta·k'),('meta·w'),('payload'),('score'),('tags'),
+                         ('turn_idx'),('val'),('vec')) c(col_name)
+            ORDER BY col_name
+        """,
         "key_merge_outer": """
             WITH frag_a AS (
               SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice

@@ -7,7 +7,8 @@ as a plain dict keyed by codec name.
 
 from __future__ import annotations
 
-from .base import DTYPE_F64, DTYPE_I64, DTYPE_STR
+from .alp import AlpCodec
+from .base import DTYPE_BIN, DTYPE_F32, DTYPE_F64, DTYPE_I64, DTYPE_STR
 from .delta import DeltaCodec
 from .dictionary import DictCodec
 from .forbp import ForBitpackCodec
@@ -17,7 +18,10 @@ from .rle import RleCodec
 
 CODECS = {
     c.name: c
-    for c in (PlainCodec(), DictCodec(), RleCodec(), ForBitpackCodec(), DeltaCodec(), FsstCodec())
+    for c in (
+        PlainCodec(), DictCodec(), RleCodec(), ForBitpackCodec(), DeltaCodec(),
+        FsstCodec(), AlpCodec(),
+    )
 }
 
 

@@ -59,6 +59,25 @@ def estimate_int_sizes(vals: np.ndarray) -> dict[str, float]:
     return out
 
 
+def estimate_f64_sizes(vals: np.ndarray) -> dict[str, float]:
+    """plain vs ALP for doubles: sample the exact-decimal hit rate and the
+    FOR width of the scaled ints (see codecs/alp.py)."""
+    from .codecs.alp import _exact_mask, choose_exponent
+
+    n = len(vals)
+    if n == 0:
+        return {"plain": 0.0}
+    e, hit = choose_exponent(vals)
+    sample = vals[:: max(1, n // 1024)]
+    _, enc = _exact_mask(sample, e)
+    w = bit_width(int(enc.max()) - int(enc.min())) if len(enc) else 0
+    n_exc = (1.0 - hit) * n
+    return {
+        "plain": 8.0 * n,
+        "alp": w * n / 8 + n_exc * 12 + 64,
+    }
+
+
 def byte_entropy(buf: np.ndarray) -> float:
     """Shannon entropy (bits/byte) of a uint8 buffer."""
     if len(buf) == 0:
@@ -149,7 +168,15 @@ def choose_codec_local(series, phys: str) -> str:
         est = estimate_int_sizes(vals)
     elif phys in ("string", "binary"):
         est = estimate_str_sizes(series)
-    else:  # double / float: only plain implemented (ALP lands in codecs/alp.py)
+    elif phys == "double":
+        if isinstance(series, (pa.Array, pa.ChunkedArray)):
+            from .blocks import _to_kernel_arrow
+
+            vals, _ = _to_kernel_arrow(series, phys)
+        else:
+            vals = series.dropna().to_numpy(dtype=np.float64)
+        est = estimate_f64_sizes(vals)
+    else:  # float32: plain (already 4 bytes; ALP-for-f32 not implemented)
         return "plain"
     return min(est.items(), key=lambda kv: (kv[1], kv[0]))[0]
 
@@ -185,6 +212,12 @@ def build_plan(stats_pdf: pd.DataFrame) -> dict[str, str]:
                 "dict": uniq_bytes + code_bits * n / 8 + 64,
                 "rle": uniq_bytes + float(r["runs"]) * (code_bits + bit_width(n)) / 8 + 64,
                 "fsst": total * ratio + 2.0 * n + 2048,
+            }
+        elif phys == "double":
+            n_exc = (1.0 - float(r.get("alp_hit") or 0.0)) * n
+            est = {
+                "plain": 8.0 * n,
+                "alp": float(r.get("w_alp") or 64) * n / 8 + n_exc * 12 + 64,
             }
         else:
             est = {"plain": 0.0}

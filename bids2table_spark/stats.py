@@ -26,7 +26,7 @@ from .selector import byte_entropy
 STATS_DDL = (
     "pt string, column string, phys string, n long, ndv long, runs long, "
     "w_for int, w_delta int, total_bytes long, entropy double, "
-    "fsst_sample_ratio double"
+    "fsst_sample_ratio double, alp_hit double, w_alp int"
 )
 
 _FSST_SAMPLE_BYTES = 1 << 17
@@ -37,6 +37,7 @@ def _col_stats(pt: str, name: str, phys: str, series: pd.Series) -> dict:
         "pt": pt, "column": name, "phys": phys, "n": len(series),
         "ndv": 0, "runs": 0, "w_for": 0, "w_delta": 0,
         "total_bytes": 0, "entropy": 0.0, "fsst_sample_ratio": 0.0,
+        "alp_hit": 0.0, "w_alp": 0,
     }
     valid = series.dropna()
     if len(valid) == 0:
@@ -84,6 +85,15 @@ def _col_stats(pt: str, name: str, phys: str, series: pd.Series) -> dict:
     else:  # double / float
         out["ndv"] = int(pd.unique(valid).size)
         out["total_bytes"] = 8 * len(valid)
+        if phys == "double":
+            from .codecs.alp import _exact_mask, choose_exponent
+
+            vals = valid.to_numpy(dtype=np.float64)
+            e, hit = choose_exponent(vals)
+            _, enc = _exact_mask(vals[:: max(1, len(vals) // 4096)], e)
+            out["alp_hit"] = float(hit)
+            if len(enc):
+                out["w_alp"] = bit_width(int(enc.max()) - int(enc.min()))
     return out
 
 

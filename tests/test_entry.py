@@ -23,8 +23,9 @@ def test_all_queries_present(results):
     oracles = entry_mod.oracle_sql()
     assert len(qs) >= 20
     assert set(oracles) <= set(qs)
-    # all but the explicitly non-SQL ops have oracles
-    assert set(qs) - set(oracles) == {"transcript_codec_stats"}
+    # every query has a DuckDB oracle (codec stats check SQL-expressible
+    # invariants since round 2)
+    assert set(qs) == set(oracles)
 
 
 def test_oracle_matches(results):

@@ -17,7 +17,7 @@ from .encode import encode_grouped, encode_table
 from .manifest import decode_job, encode_job, read_manifest
 from .selector import build_plan, choose_codec_local
 from .session import get_spark
-from .stats import plan_from_stats, sample_stats
+from .stats import merged_stats, plan_from_stats, sample_stats
 from .synth import synth_transcripts
 
 __all__ = [
@@ -31,6 +31,7 @@ __all__ = [
     "read_manifest",
     "plan_from_stats",
     "sample_stats",
+    "merged_stats",
     "build_plan",
     "choose_codec_local",
 ]

@@ -1,15 +1,21 @@
 """Column-statistics sampling pass feeding the codec selector.
 
-One Arrow-vectorized ``applyInPandas`` over a sample of each (pt) partition
-computes, per (pt, column): row count, NDV, run count (under the canonical
-(conv_id, turn_idx) sort), FOR/delta bit widths, total string bytes, byte
-entropy, and an *actual* FSST compression ratio on a bounded sample — the
-inputs the north rule names (NDV, run length, byte entropy).
+Round-2 scale shape: the sampling UDF runs per ``(pt, salt)`` chunk — not
+one giant task per partition — so its parallelism scales with the cluster
+and no single task ever has to hold a partition's whole sample (round-1
+capped parallelism at n_pt and OOM'd by construction at 100x).  Each chunk
+emits *mergeable* partials: counts, run counts, min/max frames, byte
+HISTOGRAMS (entropy is computed from the summed histogram — exactly, since
+entropy is a function of the distribution), delta widths, sampled FSST
+ratios, ALP hit rates.  NDV — the one stat that does not merge — comes from
+a separate single JVM aggregation using ``approx_count_distinct`` (HLL
+sketches merge natively inside Spark).
 
-Everything that Spark built-ins can compute stays JVM-side in callers
-(row counts for the salt plan use ``groupBy().count()``); this pass exists
-for the stats built-ins can't express (runs under sort, entropy, sample
-compression), and it reads only a sampled fraction.
+The merge itself runs driver-side in pandas over n_pt x n_salts x n_cols
+tiny rows, then feeds :func:`bids2table_spark.selector.build_plan`.
+
+Everything the north rule names (NDV, run length, byte entropy) is here,
+Arrow-vectorized, never per-row Python.
 """
 
 from __future__ import annotations
@@ -21,34 +27,47 @@ from .blocks import spark_field_phys
 from .codecs.base import strings_to_buf
 from .codecs.bitpack import bit_width, zigzag
 from .codecs import fsst as fsst_mod
-from .selector import byte_entropy
 
-STATS_DDL = (
-    "pt string, column string, phys string, n long, ndv long, runs long, "
-    "w_for int, w_delta int, total_bytes long, entropy double, "
-    "fsst_sample_ratio double, alp_hit double, w_alp int"
+PARTIAL_DDL = (
+    "pt string, salt int, column string, phys string, n long, ndv long, "
+    "runs long, vmin long, vmax long, w_delta int, total_bytes long, "
+    "hist binary, fsst_sample_ratio double, alp_hit double, w_alp int"
 )
+
+STATS_COLUMNS = [
+    "pt", "column", "phys", "n", "ndv", "runs", "w_for", "w_delta",
+    "total_bytes", "entropy", "fsst_sample_ratio", "alp_hit", "w_alp",
+]
 
 _FSST_SAMPLE_BYTES = 1 << 17
 
+# phys tags the sampling pass understands; list<T> columns are skipped here
+# and fall back to the per-block local choice inside the encode UDF
+_STATS_PHYS = (
+    "int", "long", "timestamp", "timestamp_ntz", "boolean", "date",
+    "string", "binary", "double", "float",
+)
 
-def _col_stats(pt: str, name: str, phys: str, series: pd.Series) -> dict:
+_INT_PHYS = ("int", "long", "timestamp", "timestamp_ntz", "boolean", "date")
+
+
+def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) -> dict:
     out = {
-        "pt": pt, "column": name, "phys": phys, "n": len(series),
-        "ndv": 0, "runs": 0, "w_for": 0, "w_delta": 0,
-        "total_bytes": 0, "entropy": 0.0, "fsst_sample_ratio": 0.0,
+        "pt": pt, "salt": salt, "column": name, "phys": phys, "n": len(series),
+        "ndv": 0, "runs": 0, "vmin": 0, "vmax": 0, "w_delta": 0,
+        "total_bytes": 0, "hist": b"", "fsst_sample_ratio": 0.0,
         "alp_hit": 0.0, "w_alp": 0,
     }
     valid = series.dropna()
     if len(valid) == 0:
         return out
-    if phys in ("int", "long", "timestamp", "timestamp_ntz", "boolean", "date"):
+    if phys in _INT_PHYS:
         from .blocks import _to_kernel
 
         vals, _ = _to_kernel(valid, phys)
         vals = np.asarray(vals, dtype=np.int64)
         out["ndv"] = int(pd.unique(vals).size)
-        out["w_for"] = bit_width(int(vals.max()) - int(vals.min()))
+        out["vmin"], out["vmax"] = int(vals.min()), int(vals.max())
         if len(vals) > 1:
             d = (vals[1:].view(np.uint64) - vals[:-1].view(np.uint64)).view(np.int64)
             g = 0
@@ -77,7 +96,7 @@ def _col_stats(pt: str, name: str, phys: str, series: pd.Series) -> dict:
         offsets, buf = strings_to_buf(arr)
         out["total_bytes"] = int(len(buf))
         sample = np.frombuffer(buf[:_FSST_SAMPLE_BYTES], dtype=np.uint8)
-        out["entropy"] = byte_entropy(sample)
+        out["hist"] = np.bincount(sample, minlength=256).astype(np.int64).tobytes()
         if len(sample) >= 1024:
             table = fsst_mod._Table(fsst_mod.build_table(sample))
             stream = fsst_mod.compress(sample, table)
@@ -97,12 +116,13 @@ def _col_stats(pt: str, name: str, phys: str, series: pd.Series) -> dict:
     return out
 
 
-# phys tags the sampling pass understands; list<T> columns are skipped here
-# and fall back to the per-block local choice inside the encode UDF
-_STATS_PHYS = (
-    "int", "long", "timestamp", "timestamp_ntz", "boolean", "date",
-    "string", "binary", "double", "float",
-)
+def _stats_fields(df, pt_col: str) -> list[tuple[str, str]]:
+    fields = [
+        (f.name, spark_field_phys(f.dataType))
+        for f in df.schema.fields
+        if f.name != pt_col
+    ]
+    return [(n, p) for n, p in fields if p in _STATS_PHYS]
 
 
 def sample_stats(
@@ -111,33 +131,126 @@ def sample_stats(
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     fraction: float = 0.05,
     seed: int = 7,
+    salts_per_pt: int | None = None,
 ):
-    """Per-(pt, column) stats DataFrame from a seeded sample of the table."""
+    """Mergeable per-(pt, salt, column) partial stats from a seeded sample.
+
+    Salting is by the conversation key (``sort_cols[0]``), so every
+    conversation's rows land in ONE chunk and the per-chunk sort preserves
+    the runs/delta structure the encode groups will actually see; chunk
+    boundaries only ever split *between* conversations."""
+    from pyspark.sql import functions as F
+
     from .encode import flatten_struct_columns
 
     df = flatten_struct_columns(df)
-    fields = [
-        (f.name, spark_field_phys(f.dataType))
-        for f in df.schema.fields
-        if f.name != pt_col
-    ]
-    fields = [(n, p) for n, p in fields if p in _STATS_PHYS]
-    sampled = df.sample(fraction=min(1.0, fraction), seed=seed)
+    fields = _stats_fields(df, pt_col)
+    if salts_per_pt is None:
+        salts_per_pt = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    sampled = df.sample(fraction=min(1.0, fraction), seed=seed).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(sort_cols[0])), F.lit(salts_per_pt)).cast("int")
+    )
 
-    def per_pt(key, pdf):
+    def per_chunk(key, pdf):
         from .blocks import pin_worker_threads
 
         pin_worker_threads()
-        pt = str(key[0])
+        pt, salt = str(key[0]), int(key[1])
         pdf = pdf.sort_values(list(sort_cols), kind="mergesort", ignore_index=True)
-        return pd.DataFrame([_col_stats(pt, name, phys, pdf[name]) for name, phys in fields])
+        return pd.DataFrame(
+            [_col_partial(pt, salt, name, phys, pdf[name]) for name, phys in fields]
+        )
 
-    return sampled.groupBy(pt_col).applyInPandas(per_pt, STATS_DDL)
+    return sampled.groupBy(pt_col, "_salt").applyInPandas(per_chunk, PARTIAL_DDL)
+
+
+def _entropy_from_hist(counts: np.ndarray) -> float:
+    total = counts.sum()
+    if total == 0:
+        return 0.0
+    p = counts[counts > 0] / total
+    return float(-(p * np.log2(p)).sum())
+
+
+def merged_stats(
+    df,
+    pt_col: str = "pt",
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    fraction: float = 0.05,
+    seed: int = 7,
+    salts_per_pt: int | None = None,
+) -> pd.DataFrame:
+    """Partial pass -> driver-side merge -> the per-(pt, column) stats frame
+    ``selector.build_plan`` consumes.
+
+    NDV comes from one extra JVM aggregation (``approx_count_distinct`` —
+    mergeable HLL inside Spark); chunk-local distinct counts do not merge."""
+    from pyspark.sql import functions as F
+
+    from .encode import flatten_struct_columns
+
+    fdf = flatten_struct_columns(df)
+    fields = _stats_fields(fdf, pt_col)
+
+    def _partial():
+        return sample_stats(
+            df, pt_col=pt_col, sort_cols=sort_cols, fraction=fraction, seed=seed,
+            salts_per_pt=salts_per_pt,
+        ).toPandas()
+
+    def _ndv():
+        sampled = fdf.sample(fraction=min(1.0, fraction), seed=seed)
+        return (
+            sampled.groupBy(pt_col)
+            .agg(*[F.approx_count_distinct(F.col(f"`{n}`"), 0.02).alias(n) for n, _ in fields])
+            .collect()
+        )
+
+    # the two stats jobs are independent — submit both and let the scheduler
+    # interleave them (halves the fixed per-job latency on small inputs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_partial, f_ndv = ex.submit(_partial), ex.submit(_ndv)
+        partial, ndv_row = f_partial.result(), f_ndv.result()
+    ndv = {(r[pt_col], n): int(r[n]) for r in ndv_row for n, _ in fields}
+
+    rows = []
+    for (pt, col), g in partial.groupby(["pt", "column"], sort=True):
+        phys = g["phys"].iloc[0]
+        n = int(g["n"].sum())
+        hists = [np.frombuffer(h, dtype=np.int64) for h in g["hist"] if len(h)]
+        hist = np.sum(hists, axis=0) if hists else np.zeros(256, dtype=np.int64)
+        tb = g["total_bytes"].to_numpy(dtype=np.float64)
+        w_fsst = float((g["fsst_sample_ratio"].to_numpy() * tb).sum() / tb.sum()) if tb.sum() else 0.0
+        nn = g["n"].to_numpy(dtype=np.float64)
+        w_alp_hit = float((g["alp_hit"].to_numpy() * nn).sum() / nn.sum()) if nn.sum() else 0.0
+        nonzero = g[g["n"] > 0]
+        w_for = 0
+        if phys in _INT_PHYS and len(nonzero):
+            w_for = bit_width(int(nonzero["vmax"].max()) - int(nonzero["vmin"].min()))
+        rows.append(
+            {
+                "pt": pt,
+                "column": col,
+                "phys": phys,
+                "n": n,
+                "ndv": ndv.get((pt, col), int(g["ndv"].max())),
+                "runs": int(g["runs"].sum()),
+                "w_for": w_for,
+                "w_delta": int(g["w_delta"].max()),
+                "total_bytes": int(g["total_bytes"].sum()),
+                "entropy": _entropy_from_hist(hist),
+                "fsst_sample_ratio": w_fsst,
+                "alp_hit": w_alp_hit,
+                "w_alp": int(g["w_alp"].max()),
+            }
+        )
+    return pd.DataFrame(rows, columns=STATS_COLUMNS)
 
 
 def plan_from_stats(df, **kwargs) -> dict[str, str]:
-    """Convenience: stats pass -> collected (small) -> selector plan."""
+    """Convenience: mergeable stats pass -> selector plan."""
     from .selector import build_plan
 
-    stats_pdf = sample_stats(df, **kwargs).toPandas()
-    return build_plan(stats_pdf)
+    return build_plan(merged_stats(df, **kwargs))

@@ -54,3 +54,33 @@ def test_plan_from_stats_spark(spark):
     assert by_col["role"] <= {"dict", "rle"}
     # text is high-entropy-ish templated NL -> fsst (or dict if very repetitive)
     assert by_col["text"] <= {"fsst", "dict"}
+
+
+def test_stats_pass_is_salted_and_mergeable(spark):
+    """Scale guard: the sampling pass must fan out over (pt, salt) chunks —
+    round-1 ran one task per pt — and the merged frame must agree with a
+    direct single-chunk computation on the stats that merge exactly."""
+    from bids2table_spark.stats import merged_stats, sample_stats
+
+    df = synth_transcripts(spark, n_conv=300, seed=9, n_pt=2).cache()
+    partial = sample_stats(df, fraction=1.0, salts_per_pt=4).toPandas()
+    # fan-out: several salt chunks per pt actually materialized
+    assert partial.groupby("pt")["salt"].nunique().min() >= 2
+    merged = merged_stats(df, fraction=1.0, salts_per_pt=4)
+    one = merged_stats(df, fraction=1.0, salts_per_pt=1)
+    m = merged.set_index(["pt", "column"]).sort_index()
+    o = one.set_index(["pt", "column"]).sort_index()
+    # exact merges: counts, byte totals, FOR frame width
+    pd.testing.assert_series_equal(m["n"], o["n"])
+    pd.testing.assert_series_equal(m["total_bytes"], o["total_bytes"])
+    pd.testing.assert_series_equal(m["w_for"], o["w_for"])
+    # runs merge up to ~a couple of boundaries per chunk (null-dropping can
+    # split/join a run at each chunk edge)
+    assert ((m["runs"] - o["runs"]).abs() <= 8).all()
+    # entropy from summed histograms stays close to the single-chunk value
+    assert (m["entropy"] - o["entropy"]).abs().max() < 0.2
+    # and the resulting PLAN is the one that matters: identical
+    from bids2table_spark.selector import build_plan
+
+    assert build_plan(merged) == build_plan(one)
+    df.unpersist()

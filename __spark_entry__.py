@@ -535,29 +535,51 @@ _SHINGLES = (
     "ELSE [array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')] END)"
 )
 
-
-def _minhash_sql(i: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
-
-
-_MINHASH_BASE = f"SELECT doc_id, {_SHINGLES} AS sh FROM documents"
-
-_MINHASH_SIG = (
-    f"SELECT doc_id, {_minhash_sql(0)} AS mh0, {_minhash_sql(1)} AS mh1, "
-    f"{_minhash_sql(2)} AS mh2, {_minhash_sql(3)} AS mh3 FROM ({_MINHASH_BASE})"
+# int64 shingle hashes: one md5 per shingle, 8 hex chars -> 32-bit int —
+# byte-for-byte the arithmetic bids2table_spark.operators.dedup uses
+_HASHED_SHINGLES = (
+    f"list_distinct(list_transform({_SHINGLES}, "
+    "s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))"
 )
 
-_LSH_PAIRS = f"""
-WITH sig AS ({_MINHASH_SIG}),
+
+def _minhash_sig_sql(k: int) -> str:
+    from bids2table_spark.operators.dedup import MERSENNE_P, minhash_coeffs
+
+    a, b = minhash_coeffs(k)
+    exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {MERSENNE_P}))"
+        for i in range(k)
+    )
+    return (
+        f"SELECT doc_id, [{exprs}] AS sig FROM "
+        f"(SELECT doc_id, {_HASHED_SHINGLES} AS hs FROM documents)"
+    )
+
+
+def _lsh_pairs_sql(k: int, bands: int) -> str:
+    rows = k // bands
+    return f"""
+WITH sig AS ({_minhash_sig_sql(k)}),
 banded AS (
-  SELECT doc_id, mh0 || '|' || mh1 AS band_key FROM sig
-  UNION ALL
-  SELECT doc_id, mh2 || '|' || mh3 AS band_key FROM sig
+  SELECT doc_id, g.b AS band_idx,
+         array_to_string(list_transform(sig[g.b*{rows}+1 : g.b*{rows}+{rows}],
+                                        x -> x::VARCHAR), ',') AS band_key
+  FROM sig, generate_series(0, {bands - 1}) g(b)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b USING (band_key)
+FROM banded a JOIN banded b USING (band_idx, band_key)
 WHERE a.doc_id < b.doc_id
 """
+
+
+def _srp_bucket_sql(vec: str, planes: int, base_expr: str = "0") -> str:
+    """Sum of sign bits of components base_expr*planes+1 .. +planes."""
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[({base_expr})*{planes} + {i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(planes)
+    )
+    return f"({terms})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -730,10 +752,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dupes
             FROM documents GROUP BY 1
         """,
-        "dedup_minhash_lsh": _LSH_PAIRS,
+        "dedup_minhash_lsh": _lsh_pairs_sql(128, 16),
         "dedup_ngram_jaccard": f"""
-            WITH pairs AS ({_LSH_PAIRS}),
-            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+            WITH pairs AS ({_lsh_pairs_sql(128, 16)}),
+            sh AS (SELECT doc_id, {_HASHED_SHINGLES} AS sh FROM documents)
             SELECT doc_a, doc_b,
                    round(len(list_intersect(a.sh, b.sh))
                          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE,
@@ -744,16 +766,19 @@ def oracle_sql() -> dict[str, str]:
                         4) >= 0.2
         """,
         "dedup_simhash": _simhash_oracle(),
-        "embedding_neardup": """
+        "embedding_neardup": f"""
             WITH base AS (
-              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
-                     (embedding[1] >= 0)::INT::VARCHAR || (embedding[2] >= 0)::INT::VARCHAR AS bucket
-              FROM embeddings)
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+            tb AS (
+              SELECT vec_id, v, g.t AS tbl,
+                     {_srp_bucket_sql("v", 8, "g.t")} AS bucket
+              FROM base, generate_series(0, 3) g(t))
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                          4) AS cosine
-            FROM base a JOIN base b USING (bucket)
+            FROM tb a JOIN tb b USING (tbl, bucket)
             WHERE a.vec_id < b.vec_id
               AND round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
@@ -823,23 +848,33 @@ ranked AS (
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
-_ANN_LSH_SQL = """
+def _ann_lsh_sql(planes: int = 12, k: int = 5, n_queries: int = 5) -> str:
+    bucket = _srp_bucket_sql("v", planes)
+    return f"""
 WITH base AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
-         (embedding[1] >= 0)::INT + 2 * (embedding[2] >= 0)::INT AS bucket
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings),
+bk AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM base),
 q AS (
-  SELECT vec_id AS query_id, v AS qv, bucket FROM base WHERE vec_id < 5),
+  SELECT vec_id AS query_id, v AS qv, bucket FROM bk WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, qv,
+         CASE WHEN g.i = 0 THEN bucket ELSE xor(bucket, 1 << (g.i - 1)) END AS bucket
+  FROM q, generate_series(0, {planes}) g(i)),
 scored AS (
   SELECT query_id, b.vec_id,
          round(list_dot_product(qv, b.v)
                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-  FROM base b JOIN q USING (bucket)),
+  FROM bk b JOIN probes USING (bucket)),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored)
-SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
+
+
+_ANN_LSH_SQL = _ann_lsh_sql()
 
 
 def _simhash_oracle() -> str:

@@ -1,14 +1,23 @@
 """Deduplication operators over the ``documents`` table — the operations a
 large-scale training-data pipeline needs, each designed so a DuckDB oracle
-can reproduce it exactly (shared primitives: md5, word shingles, lexicographic
-min — identical in both engines).
+can reproduce it exactly (shared primitives: md5, word shingles, 32-bit
+affine hash permutations — identical integer arithmetic in both engines).
 
-* exact_dedup        hash-groupBy on md5(text), keep min doc_id
-* minhash_signatures k min-hashes from salted md5 over word 3-gram shingles
-* minhash_lsh_pairs  band signatures -> bucket join -> candidate pairs
-* ngram_jaccard_pairs candidate pairs with exact shingle-Jaccard >= threshold
-* simhash64          64-bit simhash from token md5 bits (vectorized UDF-free)
-* embedding_neardup  cosine near-duplicate pairs over the embeddings table
+* exact_dedup         hash-groupBy on md5(text), keep min doc_id
+* minhash_signatures  k=128 min-hashes: ONE md5 per shingle -> h32, then k
+                      cheap affine permutations (a_i*h+b_i) mod p — the
+                      standard scalable construction (never k md5 passes)
+* minhash_lsh_pairs   16 bands x 8 rows -> bucket join -> candidate pairs
+* ngram_jaccard_pairs exact Jaccard on the int64-hashed shingle sets over
+                      LSH candidates (no string arrays ever shuffle)
+* simhash64           60-bit simhash, ONE aggregate pass (array accumulator)
+* embedding_neardup   cosine pairs within multi-table sign-projection
+                      buckets (tables x planes, union) + optional bucket cap
+
+Scale notes: every self-join is bucketed (band_key / (table, bucket)) — no
+all-pairs anywhere; signatures travel as int arrays, shingle strings never
+leave the row they were tokenized in; a hot bucket can be capped
+(``max_bucket``) with deterministic re-salting by further sign planes.
 """
 
 from __future__ import annotations
@@ -17,6 +26,28 @@ from pyspark.sql import DataFrame, functions as F
 
 # word 3-gram shingles from lowercased whitespace-split tokens
 _SHINGLE_N = 3
+
+# universal-hash family over p = 2^31 - 1 (Mersenne); h32 < 2^32 and
+# a < 2^30 keep every product within int64 in BOTH engines (no overflow,
+# no engine-specific wrap semantics)
+MERSENNE_P = 2_147_483_647
+MINHASH_K = 128
+MINHASH_BANDS = 16
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer on python ints (table-generation only)."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def minhash_coeffs(k: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) affine coefficients, shared with the oracle."""
+    a = [(_mix64(2 * i) % (1 << 30)) | 1 for i in range(k)]
+    b = [_mix64(2 * i + 1) % MERSENNE_P for i in range(k)]
+    return a, b
 
 
 def tokens_col(col: str = "text"):
@@ -37,6 +68,18 @@ def shingles_col(col: str = "text", n: int = _SHINGLE_N):
     )
 
 
+def hashed_shingles_col(col: str = "text", n: int = _SHINGLE_N):
+    """Distinct int64 shingle hashes: md5-prefix -> 32-bit int.  ONE digest
+    per shingle; everything downstream (minhash, jaccard) is int math.
+    DuckDB mirror: ``('0x' || substr(md5(s), 1, 8))::BIGINT``."""
+    return F.array_distinct(
+        F.transform(
+            shingles_col(col, n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """One row per distinct text: canonical doc = min doc_id, plus dupe count."""
     return (
@@ -48,56 +91,72 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
-    """k min-hash values per doc: min over shingles of md5(i || ':' || s).
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig array<long>[k]): sig_i = min over shingles of
+    (a_i * h32 + b_i) mod p.
 
-    Lexicographic min over hex digests — deterministic and reproducible in
-    any engine with md5.
-    """
-    sh = shingles_col()
-    out = docs.select("doc_id", sh.alias("sh"))
-
-    def salted_md5(prefix: str):
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    for i in range(k):
-        out = out.withColumn(
-            f"mh{i}", F.array_min(F.transform(F.col("sh"), salted_md5(f"{i}:")))
-        )
-    return out.drop("sh")
-
-
-def minhash_lsh_pairs(docs: DataFrame, k: int = 4, bands: int = 2) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band of the minhash signature."""
-    sig = minhash_signatures(docs, k=k)
-    rows_per_band = k // bands
-    pair_sets = []
-    for b in range(bands):
-        cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        banded = sig.select(
-            "doc_id", F.concat_ws("|", *cols).alias("band_key")
-        )
-        a, bb = banded.alias("a"), banded.alias("b")
-        pairs = (
-            a.join(bb, on="band_key")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    The classic scalable construction: hashing cost is one md5 per shingle
+    regardless of k; the k permutations are pure int arithmetic inside one
+    nested Catalyst ``transform`` (JVM-codegen, no UDF)."""
+    a, b = minhash_coeffs(k)
+    hs = hashed_shingles_col()
+    sig = F.transform(
+        F.lit(list(range(k))),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (F.element_at(F.lit(a), i + 1) * h + F.element_at(F.lit(b), i + 1))
+                % MERSENNE_P,
             )
-        )
-        pair_sets.append(pairs)
-    out = pair_sets[0]
-    for p in pair_sets[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        ),
+    )
+    return docs.select("doc_id", hs.alias("hs")).select("doc_id", sig.alias("sig"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the minhash signature.
+
+    One explode to (doc_id, band_idx, band_key) then ONE self-join keyed on
+    (band_idx, band_key) — bucketed by construction, never all-pairs; the
+    round-1 version unioned per-band joins (bands separate shuffles)."""
+    rows = k // bands
+    sig = minhash_signatures(docs, k=k)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.lit(list(range(bands))),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.concat_ws(",", F.transform(F.slice("sig", bi * rows + 1, rows), lambda v: v.cast("string"))).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_idx", "bk.band_key")
+    a_side, b_side = banded.alias("a"), banded.alias("b")
+    return (
+        a_side.join(b_side, on=["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
     """Exact shingle-Jaccard over LSH candidates (verify stage of the
-    classic minhash pipeline). Jaccard rounded to 4 dp for oracle parity."""
-    cands = minhash_lsh_pairs(docs)
-    sh = docs.select(F.col("doc_id"), shingles_col().alias("sh"))
-    j = (
+    classic minhash pipeline), computed on int64 shingle hashes — candidate
+    pairs shuffle ~8 bytes/shingle, never re-tokenized strings.  Jaccard
+    rounded to 4 dp for oracle parity."""
+    cands = minhash_lsh_pairs(docs, k=k, bands=bands)
+    sh = docs.select(F.col("doc_id"), hashed_shingles_col().alias("sh"))
+    return (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
         .withColumn(
@@ -111,50 +170,86 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return j
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
-    """64-bit simhash over word tokens: bit b is the sign of the sum over
-    tokens of (bit b of md5-high-64 of the token) ? +1 : -1.
-
-    Pure built-in expressions: md5 hex -> first 16 hex chars -> conv to a
-    64-bit integer -> per-bit majority vote via aggregate.
-    """
+    """60-bit simhash over word tokens in ONE aggregate pass: the
+    accumulator is a 60-slot vote array updated per token (round-1 ran 60
+    separate aggregates over the token array)."""
     toks = F.array_distinct(tokens_col())
     h = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    # 60-bit simhash (15 hex chars avoids signed-overflow differences)
-    def bit_vote(b: int):
-        return lambda acc, v: acc + F.when(
-            F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = []
-    for b in range(60):
-        vote = F.aggregate(h, F.lit(0), bit_vote(b))
-        bits.append(F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
-    sim = bits[0]
-    for x in bits[1:]:
-        sim = sim + x
-    return docs.select("doc_id", sim.alias("simhash"))
-
-
-def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Cosine near-duplicate pairs among embeddings sharing a coarse LSH
-    bucket (sign of the first two components — cheap deterministic bucketing
-    that the oracle can reproduce; full-precision cosine verify inside)."""
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(
-        "vec_id",
-        v.alias("v"),
-        F.concat(
-            (F.element_at(v, 1) >= 0).cast("int").cast("string"),
-            (F.element_at(v, 2) >= 0).cast("int").cast("string"),
-        ).alias("bucket"),
+    # SQL expr: the python F.shiftright helper only takes literal shift
+    # amounts, but the SQL function shifts by any expression — needed to
+    # fold all 60 bit votes into ONE aggregate pass over the token array
+    votes = (
+        "aggregate(hv, array_repeat(0, 60), (acc, v) -> "
+        "zip_with(acc, sequence(0, 59), (c, b) -> "
+        "c + IF((shiftright(v, b) & 1) = 1, 1, -1)))"
     )
+    sim = (
+        f"aggregate(zip_with({votes}, sequence(0, 59), "
+        "(c, b) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return docs.select("doc_id", h.alias("hv")).select(
+        "doc_id", F.expr(sim).alias("simhash")
+    )
+
+
+def srp_buckets(vcol, planes: int = 8, tables: int = 4):
+    """Multi-table sign-projection buckets: table t reads ``planes``
+    components starting at t*planes (deterministic 'projections' =
+    coordinate axes so any engine reproduces them).  Near-identical vectors
+    agree on every table; a single unlucky plane only costs one table —
+    recall = 1-(1-q^planes)^tables instead of q^(planes*tables)."""
+    def bucket(t: int):
+        bits = [
+            (F.element_at(vcol, t * planes + i + 1) >= 0).cast("int") * (2 ** i)
+            for i in range(planes)
+        ]
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out
+
+    return F.array(*[F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bucket")) for t in range(tables)])
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 8,
+    tables: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs among embeddings sharing any (table,
+    bucket) — full-precision cosine verify inside the bucket, distinct over
+    tables.  2^planes buckets per table (256 at the default) — the round-1
+    version had 4 total buckets, a cartesian product in disguise.
+
+    ``max_bucket`` caps bucket width for skew: oversized buckets re-salt by
+    the NEXT ``planes`` sign components (deterministic), bounding the
+    quadratic term; identical vectors re-salt identically, so true
+    duplicates are never separated."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v")).withColumn(
+        "tb", F.explode(srp_buckets(F.col("v"), planes, tables))
+    ).select("vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    if max_bucket:
+        from pyspark.sql import Window
+
+        # deterministic sub-salt from the next `planes` components
+        sub = srp_buckets(F.col("v"), planes, tables * 2)[tables].getField("bucket")
+        w = Window.partitionBy("tbl", "bucket")
+        base = base.withColumn("_n", F.count("*").over(w)).withColumn(
+            "bucket",
+            F.when(F.col("_n") > max_bucket, F.col("bucket") * (2 ** planes) + sub + (2 ** planes)).otherwise(
+                F.col("bucket")
+            ),
+        ).drop("_n")
     a, b = base.alias("a"), base.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -165,13 +260,10 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
         F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
     return (
-        a.join(b, on="bucket")
+        a.join(b, on=["tbl", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cosine", F.round(dot / (norm("a") * norm("b")), 4))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cosine",
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cosine")
+        .distinct()
     )

@@ -45,11 +45,14 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def srp_bucket(vcol, planes: int = 4):
+def srp_bucket(vcol, planes: int = 12):
     """Sign-random-projection bucket id from the first ``planes`` components
-    (deterministic 'projection' = coordinate axes; oracle-reproducible)."""
+    (deterministic 'projection' = coordinate axes; oracle-reproducible).
+    2^planes buckets — round-1 used 2 planes = 4 buckets, a quadratic
+    self-join in disguise at scale."""
     bits = [
-        (F.element_at(vcol, i + 1) >= 0).cast("int") * (2 ** i) for i in range(planes)
+        F.coalesce((F.element_at(vcol, i + 1) >= 0).cast("int"), F.lit(0)) * (2 ** i)
+        for i in range(planes)
     ]
     b = bits[0]
     for x in bits[1:]:
@@ -57,13 +60,28 @@ def srp_bucket(vcol, planes: int = 4):
     return b
 
 
-def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, planes: int = 2) -> DataFrame:
-    """ANN top-k: only candidates in the query's SRP bucket are scored."""
+def probe_buckets(bucket, planes: int = 12):
+    """Multi-probe set: the query's own bucket plus every Hamming-1
+    neighbor (flip one sign bit) — recovers most of the recall a near-miss
+    plane costs, at planes+1 bucket reads instead of 2^planes."""
+    return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(planes)])
+
+
+def cosine_topk_lsh(
+    emb: DataFrame, queries: DataFrame, k: int = 5, planes: int = 12
+) -> DataFrame:
+    """ANN top-k: candidates in the query's SRP bucket or any Hamming-1
+    probe bucket are scored (approximate: misses beyond one flipped plane —
+    the standard multi-probe LSH trade-off)."""
     base = emb.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
     ).withColumn("bucket", srp_bucket(F.col("v"), planes))
-    q = queries.withColumn("bucket", srp_bucket(F.col("qv"), planes))
+    q = queries.withColumn(
+        "bucket", F.explode(probe_buckets(srp_bucket(F.col("qv"), planes), planes))
+    )
+    # each data vector lives in exactly one bucket and probe buckets are
+    # distinct, so no (query, vec) pair is scored twice
     joined = base.join(F.broadcast(q), on="bucket")
     scored = joined.select(
         "query_id",

@@ -53,8 +53,95 @@ def test_minhash_identical_docs_share_signature(spark):
          (3, "entirely different words here now ok")],
         "doc_id long, text string",
     )
-    sig = {r["doc_id"]: (r["mh0"], r["mh1"]) for r in minhash_signatures(df, k=2).collect()}
+    sig = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(df, k=8).collect()}
     assert sig[1] == sig[2] and sig[1] != sig[3]
+
+
+def _near_dup_docs(spark, n=60):
+    """n/2 near-duplicate pairs: doc 2i and 2i+1 differ by one word in ~25."""
+    base_words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                  "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+                  "psi omega extra").split()
+    rows = []
+    for i in range(n // 2):
+        words = [base_words[(i * 7 + j) % len(base_words)] + str((i + j) % 9) for j in range(25)]
+        a = " ".join(words)
+        words[i % 25] = "CHANGED"
+        b = " ".join(words)
+        rows += [(2 * i, a), (2 * i + 1, b)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_recall_at_scale_config(spark):
+    """k=128/b=16 must recover nearly all one-word-edit near-dups (their
+    shingle Jaccard is ~0.87; band hit probability ~1-(1-0.87^8)^16 ~ 0.999)
+    while producing far fewer candidates than all-pairs."""
+    from bids2table_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _near_dup_docs(spark, 60).cache()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    truth = {(2 * i, 2 * i + 1) for i in range(30)}
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall}"
+    assert len(pairs) < 60 * 59 / 4, "candidate set must stay far below all-pairs"
+    docs.unpersist()
+
+
+def test_embedding_neardup_recall_and_bucket_cap(spark):
+    import numpy as np
+
+    from bids2table_spark.operators.dedup import embedding_neardup
+
+    rng = np.random.default_rng(13)
+    rows = []
+    vid = 0
+    for i in range(40):  # 40 near-dup pairs
+        v = rng.standard_normal(64)
+        w = v + rng.standard_normal(64) * 0.02  # cosine ~ 0.9998
+        rows += [(vid, [float(x) for x in v]), (vid + 1, [float(x) for x in w])]
+        vid += 2
+    # a skewed clump: 50 vectors in one orthant (hot bucket)
+    clump_ids = []
+    for _ in range(50):
+        v = np.abs(rng.standard_normal(64)) + 0.5
+        rows.append((vid, [float(x) for x in v]))
+        clump_ids.append(vid)
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    pairs = {(r["vec_a"], r["vec_b"]) for r in embedding_neardup(emb, threshold=0.99).collect()}
+    truth = {(2 * i, 2 * i + 1) for i in range(40)}
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall}"
+
+    # bucket cap: capping re-salts the hot orthant but never separates the
+    # (near-)identical pairs — recall of true dups survives
+    capped = {(r["vec_a"], r["vec_b"])
+              for r in embedding_neardup(emb, threshold=0.99, max_bucket=10).collect()}
+    assert len(capped & truth) / len(truth) >= 0.95
+    emb.unpersist()
+
+
+def test_ann_lsh_multiprobe_recall(spark):
+    """Multi-probe LSH top-1 must agree with exact brute force for most
+    queries (self-similarity: the vector itself is always in its own
+    bucket, so rank-1 recall is 1.0 by construction; check rank-2)."""
+    import numpy as np
+
+    from bids2table_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    rng = np.random.default_rng(21)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("qv"),
+    )
+    exact = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk(emb, q, k=1).collect()}
+    approx = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk_lsh(emb, q, k=1).collect()}
+    hits = sum(exact[k] == approx.get(k) for k in exact)
+    assert hits == len(exact)  # rank-1 = the vector itself, always found
+    emb.unpersist()
 
 
 def test_simhash_similar_close(spark):

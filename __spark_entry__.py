@@ -411,6 +411,105 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- ingestion loaders
+
+
+def _mat_dir(sf_dir: str, tag: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"b2t_{tag}_{h}")
+
+
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 CSV source: materialize nation as CSV, read back via the loader
+    with a declared schema, aggregate (loaders/text.py:21-56 parity)."""
+    from bids2table_spark.sources.text import csv_source
+
+    nation = _t(spark, sf_dir, "nation")
+    path = _mat_dir(sf_dir, "csv")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    df = csv_source(
+        spark, path,
+        schema="n_nationkey long, n_name string, n_regionkey long, n_comment string",
+    )
+    return df.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+def q_tsv_array_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7 array-TSV source: delimiter-packed array cells in a TSV, parsed
+    to typed arrays (loaders/text.py:59-87 parity)."""
+    from bids2table_spark.sources.text import tsv_array_column, tsv_source
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(
+            ",",
+            F.col("l_quantity").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            (F.col("l_quantity") * 2).cast("string"),
+        ).alias("vals"),
+    )
+    path = _mat_dir(sf_dir, "tsv")
+    li.coalesce(2).write.mode("overwrite").option("header", True).option("sep", "\t").csv(path)
+    df = tsv_source(spark, path, schema="l_orderkey long, l_linenumber int, vals string")
+    df = tsv_array_column(df, "vals", cast="double")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.aggregate("vals", F.lit(0.0), lambda a, x: a + x), 4).alias("vals_sum"),
+        F.size("vals").alias("n_vals"),
+    )
+
+
+def q_json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 JSON-dict source: from_json over the props column
+    (loaders/text.py:90-109 parity; round-1 only regex'd it)."""
+    from bids2table_spark.sources.text import json_dict_source
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = json_dict_source(ev, "props", "k int")
+    return parsed.select(
+        "event_id",
+        F.col("props_parsed.k").alias("k"),
+        (F.col("props_parsed.k") % 10).alias("k_bucket"),
+    )
+
+
+def q_path_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 path source: input_file_name attached and aggregated."""
+    from bids2table_spark.sources.text import with_source_path
+
+    docs = with_source_path(_t(spark, sf_dir, "documents"))
+    return docs.groupBy(
+        F.regexp_extract("source_path", r"([^/]+\.parquet)", 1).alias("file")
+    ).agg(F.count("*").alias("n"))
+
+
+def q_schema_infer_example(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 example-based schema inference: conform orders to the schema
+    inferred from one example record (handlers/wrap.py:44-66 parity) —
+    declared order, casts, null-fill of missing columns."""
+    from bids2table_spark.sources.text import conform_to_example
+
+    example = {
+        "o_orderkey": 0,
+        "o_totalprice": 0.0,
+        "o_missing_note": "",
+        "o_orderpriority": "",
+        "o_urgent": True,
+    }
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_urgent", F.col("o_orderpriority") == "1-URGENT"
+    )
+    return conform_to_example(orders, example)
+
+
 # ------------------------------------------------ training-data pipeline ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,6 +613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_filter": q_overlap_filter,
         "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
+        "csv_ingest": q_csv_ingest,
+        "tsv_array_ingest": q_tsv_array_ingest,
+        "json_props_parse": q_json_props_parse,
+        "path_source_counts": q_path_source_counts,
+        "schema_infer_example": q_schema_infer_example,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -746,6 +850,33 @@ def oracle_sql() -> dict[str, str]:
               FROM r)
             SELECT l_returnflag, rnk, l_orderkey, l_linenumber, revenue
             FROM ranked WHERE rnk <= 3
+        """,
+        "csv_ingest": """
+            SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
+        """,
+        "tsv_array_ingest": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity + l_linenumber + l_quantity * 2, 4) AS vals_sum,
+                   3 AS n_vals
+            FROM lineitem
+        """,
+        "json_props_parse": """
+            SELECT event_id,
+                   regexp_extract(props, '"k":\\s*(\\d+)', 1)::INTEGER AS k,
+                   regexp_extract(props, '"k":\\s*(\\d+)', 1)::INTEGER % 10 AS k_bucket
+            FROM events
+        """,
+        "path_source_counts": """
+            SELECT 'documents.parquet' AS file, count(*) AS n FROM documents
+        """,
+        "schema_infer_example": """
+            SELECT o_orderkey::BIGINT AS o_orderkey,
+                   o_totalprice::DOUBLE AS o_totalprice,
+                   NULL::VARCHAR AS o_missing_note,
+                   o_orderpriority::VARCHAR AS o_orderpriority,
+                   (o_orderpriority = '1-URGENT') AS o_urgent
+            FROM orders
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,

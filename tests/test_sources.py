@@ -1,0 +1,80 @@
+"""Ingestion loaders (S4-S8) + example-based schema inference (A5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from bids2table_spark.sources.text import (
+    conform_to_example,
+    csv_source,
+    infer_field_type,
+    json_dict_source,
+    schema_from_example,
+    tsv_array_column,
+    tsv_source,
+    with_source_path,
+)
+
+
+def test_csv_roundtrip_quoted(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 'has,comma and "quote"'), (2, "plain")], "id long, s string"
+    )
+    path = str(tmp_path / "c")
+    df.coalesce(1).write.option("header", True).csv(path)
+    back = csv_source(spark, path, schema="id long, s string")
+    assert {(r["id"], r["s"]) for r in back.collect()} == {
+        (1, 'has,comma and "quote"'), (2, "plain")
+    }
+
+
+def test_tsv_array_cells(spark, tmp_path):
+    df = spark.createDataFrame([(1, "1.5,2.5,3.0"), (2, "4.0")], "id long, v string")
+    path = str(tmp_path / "t")
+    df.coalesce(1).write.option("header", True).option("sep", "\t").csv(path)
+    back = tsv_array_column(tsv_source(spark, path, schema="id long, v string"), "v", cast="double")
+    got = {r["id"]: r["v"] for r in back.collect()}
+    assert got == {1: [1.5, 2.5, 3.0], 2: [4.0]}
+
+
+def test_json_dict_source(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 3, "s": "x"}'), (2, "not json"), (3, None)], "id long, j string"
+    )
+    out = json_dict_source(df, "j", "k int, s string")
+    got = {r["id"]: (r["j_parsed"]["k"] if r["j_parsed"] else None) for r in out.collect()}
+    assert got == {1: 3, 2: None, 3: None}
+
+
+def test_with_source_path(spark, tmp_path):
+    p = str(tmp_path / "p")
+    spark.range(5).write.parquet(p)
+    out = with_source_path(spark.read.parquet(p))
+    assert all(r["source_path"].startswith("file:") for r in out.collect())
+
+
+def test_infer_field_types():
+    assert isinstance(infer_field_type(True), T.BooleanType)
+    assert isinstance(infer_field_type(3), T.LongType)
+    assert isinstance(infer_field_type(3.5), T.DoubleType)
+    assert isinstance(infer_field_type(b"x"), T.BinaryType)
+    assert isinstance(infer_field_type(dt.datetime.now()), T.TimestampType)
+    assert isinstance(infer_field_type(dt.date.today()), T.DateType)
+    arr = infer_field_type([1, 2])
+    assert isinstance(arr, T.ArrayType) and isinstance(arr.elementType, T.LongType)
+    st = infer_field_type({"a": 1, "b": "x"})
+    assert isinstance(st, T.StructType) and st.fieldNames() == ["a", "b"]
+    with pytest.raises(TypeError):
+        infer_field_type(object())
+
+
+def test_conform_to_example(spark):
+    df = spark.createDataFrame([(1, "2.5", "zz")], "a int, b string, extra string")
+    out = conform_to_example(df, {"b": 0.0, "missing": "", "a": 0})
+    assert out.columns == ["b", "missing", "a"]
+    row = out.collect()[0]
+    assert row["b"] == 2.5 and row["missing"] is None and row["a"] == 1
+    assert schema_from_example({"x": [1.0]}).simpleString() == "struct<x:array<double>>"

@@ -287,7 +287,9 @@ def compress(buf: np.ndarray, table: _Table) -> np.ndarray:
     for starts_p, L_p in committed:
         d[starts_p] += 1
         d[starts_p + L_p] -= 1
-    taken = np.cumsum(d[:-1]).astype(bool)
+    # dtype=int32: numpy's int8 cumsum is scalar (~24x slower); the +-1
+    # deltas nest at most one deep so any signed dtype is exact
+    taken = np.cumsum(d[:-1], dtype=np.int32).astype(bool)
     # 1-byte symbols on remaining free bytes
     if 1 in table.by_len:
         keys, codes, pref = table.by_len[1]

@@ -23,7 +23,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bids2table_spark")
     p.add_argument("command", choices=["synth", "encode", "decode", "verify"])
     p.add_argument("--input", help="input table: parquet path or iceberg name")
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", default=None)
     p.add_argument("--encoded", help="encoded dir (verify)")
     p.add_argument("--n-conv", type=int, default=10_000)
     p.add_argument("--seed", type=int, default=42)
@@ -33,7 +33,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default=None)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--print-only", action="store_true", help="print the plan and exit")
+    p.add_argument(
+        "--config",
+        help="JSON config file composing the job (reference parity: "
+        "bids2table -c <cfg> ... composes the whole plan from config, "
+        "bids2table/__main__.py:34-96). Keys mirror the CLI flags "
+        "(input, out, block_rows, group_rows, sample_fraction, run_id, "
+        "resume) plus 'codecs': {column-or-pt/column: codec} overriding "
+        "the auto-selector per column.",
+    )
     args = p.parse_args(argv)
+
+    cfg: dict = {}
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+        for key in ("input", "out", "run_id"):
+            if getattr(args, key, None) in (None, "") and key in cfg:
+                setattr(args, key, cfg[key])
+        args.block_rows = int(cfg.get("block_rows", args.block_rows))
+        args.group_rows = int(cfg.get("group_rows", args.group_rows))
+        args.sample_fraction = float(cfg.get("sample_fraction", args.sample_fraction))
+        if cfg.get("resume") is False:
+            args.no_resume = True
+    if not args.out:
+        p.error("--out is required (flag or config file)")
 
     from bids2table_spark import (
         decode_job,
@@ -59,6 +83,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "encode":
         df = read_table(spark, args.input)
         plan = plan_from_stats(df, fraction=args.sample_fraction)
+        # config pins win over the selector; a bare-column pin must also
+        # evict the selector's pt-scoped entries (those win at lookup time)
+        for col, codec in (cfg.get("codecs") or {}).items():
+            if "/" not in col:
+                for pk in [k for k in plan if k.endswith(f"/{col}")]:
+                    del plan[pk]
+            plan[col] = codec
         if args.print_only:
             print(codec_plan_str(plan))
             df.explain("formatted")

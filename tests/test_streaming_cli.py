@@ -71,6 +71,33 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli.main(["verify", "--input", src, "--encoded", enc, "--out", enc]) == 0
 
 
+def test_cli_config_file(spark, tmp_path):
+    """Config-composed job (reference: bids2table -c cfg composes the whole
+    plan, __main__.py:34-96): flags come from JSON, codec pins override the
+    selector, and the pinned codec shows up in the manifest."""
+    import json as _json
+
+    from bids2table_spark import cli
+    from bids2table_spark.manifest import read_manifest
+
+    src = str(tmp_path / "t2")
+    enc = str(tmp_path / "e2")
+    assert cli.main(["synth", "--out", src, "--n-conv", "60"]) == 0
+    cfg = {
+        "input": src,
+        "out": enc,
+        "group_rows": 4096,
+        "codecs": {"role": "plain"},  # pin one column away from the selector
+    }
+    cfg_path = str(tmp_path / "job.json")
+    with open(cfg_path, "w") as f:
+        _json.dump(cfg, f)
+    assert cli.main(["encode", "--config", cfg_path]) == 0
+    m = read_manifest(spark, enc).toPandas()
+    assert m["codecs"].str.contains('"role":"plain"').all()
+    assert cli.main(["verify", "--input", src, "--encoded", enc, "--out", enc]) == 0
+
+
 def test_scan_pushdown_evidence(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     q = df.filter(df.l_orderkey == 5).select("l_orderkey", "l_quantity")

@@ -122,7 +122,10 @@ def resolve_salt_plan(
     fresh = salt_plan(df, pt_col=pt_col, target_group_rows=target_group_rows)
     new_pts = {pt: n for pt, n in fresh.items() if pt not in stored}
     if new_pts and resume:
-        spark.createDataFrame(
+        from .session import local_df
+
+        local_df(
+            spark,
             [(scope, pt, int(n)) for pt, n in sorted(new_pts.items())],
             "scope string, pt string, n_salts int",
         ).coalesce(1).write.mode("append").parquet(ppath)
@@ -176,7 +179,9 @@ def encode_job(
         for s in range(n)
     ]
     n_total = len(all_groups)
-    pending = spark.createDataFrame(all_groups, f"{pt_col} string, grp string")
+    from .session import local_df
+
+    pending = local_df(spark, all_groups, f"{pt_col} string, grp string")
     done = committed_groups(spark, out_dir) if resume else None
     n_pending = n_total
     if done is not None:

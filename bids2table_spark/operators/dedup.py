@@ -96,21 +96,19 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     (a_i * h32 + b_i) mod p.
 
     The classic scalable construction: hashing cost is one md5 per shingle
-    regardless of k; the k permutations are pure int arithmetic inside one
-    nested Catalyst ``transform`` (JVM-codegen, no UDF)."""
+    regardless of k.  Shape: explode shingle hashes, then k codegen'd MIN
+    aggregates with map-side partial aggregation — one shuffle of (doc_id,
+    h) pairs.  (A nested Catalyst transform-over-transform computes the
+    same thing with zero shuffle but runs INTERPRETED — measured 40x
+    slower at k=128; higher-order lambdas never reach codegen.)"""
     a, b = minhash_coeffs(k)
-    hs = hashed_shingles_col()
-    sig = F.transform(
-        F.lit(list(range(k))),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: (F.element_at(F.lit(a), i + 1) * h + F.element_at(F.lit(b), i + 1))
-                % MERSENNE_P,
-            )
-        ),
-    )
-    return docs.select("doc_id", hs.alias("hs")).select("doc_id", sig.alias("sig"))
+    ex = docs.select("doc_id", F.explode(hashed_shingles_col()).alias("h"))
+    aggs = [
+        F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % MERSENNE_P).alias(f"m{i}")
+        for i in range(k)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -53,3 +53,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_df(spark: SparkSession, rows: list[tuple], schema_ddl: str):
+    """Tiny driver-side DataFrame as a JVM LocalTableScan (via pandas/Arrow).
+
+    ``spark.createDataFrame(list_of_tuples)`` builds a pickled-Python RDD:
+    every downstream job forks python workers for all default partitions
+    just to deserialize a handful of rows — measured 3-5 s per tiny job on
+    local[32].  The pandas/Arrow path converts on the driver and plans a
+    LocalTableScan: zero python workers, zero extra tasks."""
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(schema_ddl)
+    pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+    return spark.createDataFrame(pdf, schema=schema)

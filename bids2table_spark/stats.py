@@ -97,7 +97,11 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
         out["total_bytes"] = int(len(buf))
         sample = np.frombuffer(buf[:_FSST_SAMPLE_BYTES], dtype=np.uint8)
         out["hist"] = np.bincount(sample, minlength=256).astype(np.int64).tobytes()
-        if len(sample) >= 1024:
+        # the actual-compression FSST trial is the expensive stat — run it in
+        # ONE chunk per pt (salt 0); histograms/counts still come from every
+        # chunk, and the merge weights the ratio by bytes so missing chunks
+        # simply don't contribute
+        if salt == 0 and len(sample) >= 1024:
             table = fsst_mod._Table(fsst_mod.build_table(sample))
             stream = fsst_mod.compress(sample, table)
             out["fsst_sample_ratio"] = float(len(stream) + 8 * len(table.symbols)) / len(sample)
@@ -221,7 +225,8 @@ def merged_stats(
         n = int(g["n"].sum())
         hists = [np.frombuffer(h, dtype=np.int64) for h in g["hist"] if len(h)]
         hist = np.sum(hists, axis=0) if hists else np.zeros(256, dtype=np.int64)
-        tb = g["total_bytes"].to_numpy(dtype=np.float64)
+        has_trial = g["fsst_sample_ratio"].to_numpy() > 0
+        tb = g["total_bytes"].to_numpy(dtype=np.float64) * has_trial
         w_fsst = float((g["fsst_sample_ratio"].to_numpy() * tb).sum() / tb.sum()) if tb.sum() else 0.0
         nn = g["n"].to_numpy(dtype=np.float64)
         w_alp_hit = float((g["alp_hit"].to_numpy() * nn).sum() / nn.sum()) if nn.sum() else 0.0

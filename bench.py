@@ -174,8 +174,10 @@ def run_scaling() -> None:
     lo, hi = (
         int(x) for x in os.environ.get("B2T_SCALING_CPUS", "2,8").split(",")
     )
+    n_samples = int(os.environ.get("B2T_SCALING_SAMPLES", "3"))
+    settle = int(os.environ.get("B2T_SCALING_SETTLE", "30"))
     samples: dict[int, list[dict]] = {lo: [], hi: []}
-    for cpus in (lo, hi, lo, hi):
+    for cpus in (lo, hi) * n_samples:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), B2T_GROUP_ROWS="65536")
         # taskset pins the WHOLE process tree (JVM service threads, python
         # daemons, writers) to exactly `cpus` physical CPUs — the honest
@@ -194,7 +196,7 @@ def run_scaling() -> None:
         )
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
         samples[cpus].append(json.loads(line))
-        time.sleep(20)  # let the kernel reclaim/settle between JVMs
+        time.sleep(settle)  # let the kernel reclaim/settle between JVMs
     results = {
         cpus: max(runs, key=lambda r: r["turns_per_sec"]) for cpus, runs in samples.items()
     }
@@ -229,8 +231,14 @@ def run_scaling() -> None:
             f"(target >= 0.8 per north rule; efficiency = (T_4N/T_N)/({hi}/{lo})).\n\n"
             f"Compressed size target: bytes/turn <= Parquet+zstd reference — "
             f"ratio ours/ref = {results[hi]['vs_ref_ratio']} "
-            f"({'MET' if results[hi]['vs_ref_ratio'] <= 1.0 else 'NOT MET'}).\n"
+            f"({'MET' if results[hi]['vs_ref_ratio'] <= 1.0 else 'NOT MET'}).\n\n"
+            f"All samples (turns/sec; best-of-{n_samples} per level is what the "
+            "table reports — single runs on this sandbox vary up to ~2x with "
+            "post-JVM page-cache/steal state, see NOTES.md):\n\n"
         )
+        for cpus in (lo, hi):
+            vals = ", ".join(str(r["turns_per_sec"]) for r in samples[cpus])
+            f.write(f"- local[{cpus}]: {vals}\n")
     print(json.dumps({"scaling_efficiency": round(eff, 3), "results": results}))
 
 

@@ -206,7 +206,9 @@ def merged_stats(
         sampled = fdf.sample(fraction=min(1.0, fraction), seed=seed)
         return (
             sampled.groupBy(pt_col)
-            .agg(*[F.approx_count_distinct(F.col(f"`{n}`"), 0.02).alias(n) for n, _ in fields])
+            # default 5% rsd: plenty for codec *ranking*, and Spark's HLL at
+            # rsd 0.02 is ~7x slower per update (measured 35s vs 5s at sf~1)
+            .agg(*[F.approx_count_distinct(F.col(f"`{n}`")).alias(n) for n, _ in fields])
             .collect()
         )
 

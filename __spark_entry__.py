@@ -411,6 +411,53 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming encode (readStream -> foreachBatch resumable
+    encode_job with epoch-scoped groups) round-trip: the decoded committed
+    state must equal the un-encoded transform bit-for-bit (same oracle as
+    the batch flagship)."""
+    import shutil
+
+    from bids2table_spark.manifest import decode_job
+    from bids2table_spark.streaming import encode_stream
+
+    base = _mat_dir(sf_dir, "stream")
+    shutil.rmtree(base, ignore_errors=True)
+    src, out = f"{base}/src", f"{base}/enc"
+    tr = transcripts_from_events(spark, sf_dir)
+    tr.write.mode("overwrite").parquet(src)
+    q = encode_stream(
+        spark, src, out, schema=spark.read.parquet(src).schema,
+        target_group_rows=65536,
+    )
+    q.awaitTermination(600)
+    return decode_job(spark, out)
+
+
+def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + partition pushdown THROUGH the codec layer: decode only
+    (conv_id, turn_idx, role) of two pts — unrequested columns' payloads are
+    pruned at the blocks parquet scan, never decoded."""
+    import shutil
+
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    base = _mat_dir(sf_dir, "proj")
+    shutil.rmtree(base, ignore_errors=True)
+    tr = transcripts_from_events(spark, sf_dir)
+    encode_job(spark, tr, f"{base}/enc", run_id="proj", target_group_rows=65536)
+    dec = decode_job(
+        spark, f"{base}/enc",
+        columns=["conv_id", "turn_idx", "role"],
+        pts=["pt-0001", "pt-0002"],
+    )
+    return dec.groupBy("pt", "role").agg(
+        F.count("*").alias("n"),
+        F.min("conv_id").alias("min_conv"),
+        F.max("turn_idx").alias("max_turn"),
+    )
+
+
 # ------------------------------------------------------- ingestion loaders
 
 
@@ -508,6 +555,65 @@ def q_schema_infer_example(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_urgent", F.col("o_orderpriority") == "1-URGENT"
     )
     return conform_to_example(orders, example)
+
+
+# ----------------------------------------------------------- multimodal ops
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 multimodal plumbing, oracle-checked: the deterministic media table
+    (binary payload + typed metadata) reproduced byte-for-byte — DuckDB
+    rebuilds the sha256-chain payloads as hex strings (it cannot hash
+    blobs, so identity is asserted via length + hex prefix)."""
+    from bids2table_spark.operators.multimodal import synth_media
+
+    m = synth_media(spark, n=200)
+    return m.select(
+        "media_id", "kind", "mime", "width", "height", "duration_ms",
+        F.length("payload").alias("n_bytes"),
+        F.substring(F.hex("payload"), 1, 32).alias("payload_hex32"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling grid (posexplode over the duration grid)."""
+    from bids2table_spark.operators.multimodal import frame_sample, synth_media
+
+    m = synth_media(spark, n=200)
+    return frame_sample(m, every_ms=500).select("media_id", "frame_idx", "ts_ms")
+
+
+_MEDIA_ORACLE_BASE = """
+  SELECT i AS media_id,
+         (['image','audio','video'])[(i % 3) + 1] AS kind,
+         sha256('42:' || i::VARCHAR) AS hx,
+         ('0x' || substr(sha256('42:' || i::VARCHAR), 1, 2))::INT AS b0,
+         ('0x' || substr(sha256('42:' || i::VARCHAR), 3, 2))::INT AS b1,
+         ('0x' || substr(sha256('42:' || i::VARCHAR), 5, 2))::INT AS b2,
+         ('0x' || substr(sha256('42:' || i::VARCHAR), 7, 2))::INT AS b3
+  FROM generate_series(0, 199) g(i)
+"""
+
+_MEDIA_METADATA_SQL = f"""
+WITH base AS ({_MEDIA_ORACLE_BASE}),
+m AS (
+  SELECT media_id, kind,
+         CASE kind WHEN 'image' THEN 'image/png' WHEN 'audio' THEN 'audio/wav'
+                   ELSE 'video/mp4' END AS mime,
+         CASE WHEN kind <> 'audio' THEN 64 + (b1 % 64) END AS width,
+         CASE WHEN kind <> 'audio' THEN 64 + (b2 % 64) END AS height,
+         CASE WHEN kind <> 'image' THEN 1000 + b3 * 10 END AS duration_ms,
+         256 + b0 * 16 AS n_bytes,
+         upper(substr(repeat(hx, (256 + b0 * 16) // 32 + 1), 1, 32)) AS payload_hex32
+  FROM base)
+SELECT * FROM m
+"""
+
+_FRAME_SAMPLE_SQL = f"""
+WITH base AS ({_MEDIA_ORACLE_BASE}),
+v AS (SELECT media_id, 1000 + b3 * 10 AS duration_ms FROM base WHERE kind = 'video'),
+e AS (SELECT media_id, unnest(generate_series(0, duration_ms // 500)) AS frame_idx FROM v)
+SELECT media_id, frame_idx, frame_idx * 500 AS ts_ms FROM e
+"""
 
 
 # ------------------------------------------------ training-data pipeline ops
@@ -613,6 +719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_filter": q_overlap_filter,
         "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
+        "streaming_roundtrip": q_streaming_roundtrip,
+        "decode_projection": q_decode_projection,
+        "media_metadata": q_media_metadata,
+        "frame_sample": q_frame_sample,
         "csv_ingest": q_csv_ingest,
         "tsv_array_ingest": q_tsv_array_ingest,
         "json_props_parse": q_json_props_parse,
@@ -850,6 +960,16 @@ def oracle_sql() -> dict[str, str]:
               FROM r)
             SELECT l_returnflag, rnk, l_orderkey, l_linenumber, revenue
             FROM ranked WHERE rnk <= 3
+        """,
+        "streaming_roundtrip": _TRANSCRIPTS_ORACLE,
+        "media_metadata": _MEDIA_METADATA_SQL,
+        "frame_sample": _FRAME_SAMPLE_SQL,
+        "decode_projection": f"""
+            WITH tr AS ({_TRANSCRIPTS_ORACLE})
+            SELECT pt, role, count(*) AS n, min(conv_id) AS min_conv,
+                   max(turn_idx) AS max_turn
+            FROM tr WHERE pt IN ('pt-0001', 'pt-0002')
+            GROUP BY pt, role
         """,
         "csv_ingest": """
             SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name

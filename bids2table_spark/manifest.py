@@ -305,6 +305,26 @@ def committed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
-def decode_job(spark: SparkSession, out_dir: str, verify: bool = True) -> DataFrame:
-    """Decode the committed state of out_dir back to the original table."""
-    return decode_table(committed_blocks(spark, out_dir), verify=verify)
+def decode_job(
+    spark: SparkSession,
+    out_dir: str,
+    verify: bool = True,
+    columns: list[str] | None = None,
+    pts: list[str] | None = None,
+) -> DataFrame:
+    """Decode the committed state of out_dir back to the original table.
+
+    ``columns`` / ``pts`` push projection and partition selection down
+    THROUGH the codec layer: the blocks scan filters on the ``column`` /
+    ``pt`` columns (parquet row-group pruning via PushedFilters), so
+    unrequested columns' payload bytes are never read, shuffled, or
+    decoded — the custom format keeps Spark's column-pruning economics."""
+    blocks = committed_blocks(spark, out_dir)
+    if pts is not None:
+        blocks = blocks.filter(F.col("pt").isin(list(pts)))
+    if columns is not None:
+        wanted = F.col("column").isin(list(columns))
+        for c in columns:  # struct leaves travel as parent·field blocks
+            wanted = wanted | F.col("column").startswith(f"{c}·")
+        blocks = blocks.filter(wanted)
+    return decode_table(blocks, verify=verify)

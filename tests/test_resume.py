@@ -95,6 +95,28 @@ def test_failed_group_isolated_and_retried(spark, transcripts, tmp_path):
     pd.testing.assert_frame_equal(_sorted(transcripts), _sorted(decode_job(spark, out)))
 
 
+def test_decode_projection_pushdown(spark, transcripts, tmp_path):
+    """Column/pt selection must reach the blocks parquet scan as pushed
+    filters (payloads of unrequested columns are never read), and the
+    decoded frame must carry only the requested columns."""
+    from bids2table_spark.manifest import committed_blocks
+    from bids2table_spark.plans import scan_pushdown
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "proj")
+    encode_job(spark, transcripts, out, run_id="p", target_group_rows=4096)
+    dec = decode_job(spark, out, columns=["conv_id", "turn_idx", "role"])
+    assert set(dec.columns) == {"pt", "conv_id", "turn_idx", "role"}
+    blocks = committed_blocks(spark, out).filter(
+        F.col("column").isin(["conv_id", "turn_idx", "role"])
+    )
+    info = scan_pushdown(blocks)
+    assert any("column" in f for f in (info["pushed_filters"] or [])), info
+    # values must match a full decode's projection
+    full = decode_job(spark, out).select("pt", "conv_id", "turn_idx", "role")
+    assert dec.exceptAll(full).count() == 0 and full.exceptAll(dec).count() == 0
+
+
 def test_resume_uses_persisted_salt_plan(spark, transcripts, tmp_path):
     """Group identity must survive a resume under different sizing knobs:
     the stored salt plan wins over a recomputation (ADVICE: a different

@@ -458,6 +458,25 @@ def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decode_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruned range decode: only blocks whose (zmin, zmax) key
+    range overlaps the requested conv range are read and decoded; the exact
+    predicate is applied after."""
+    import shutil
+
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    lo, hi = "conv-000000000010", "conv-000000000019"
+    base = _mat_dir(sf_dir, "zone")
+    shutil.rmtree(base, ignore_errors=True)
+    tr = transcripts_from_events(spark, sf_dir)
+    encode_job(spark, tr, f"{base}/enc", run_id="zone", target_group_rows=65536)
+    dec = decode_job(spark, f"{base}/enc", key_range=(lo, hi))
+    return dec.filter(F.col("conv_id").between(lo, hi)).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "pt"
+    )
+
+
 # ------------------------------------------------------- ingestion loaders
 
 
@@ -723,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_projection": q_decode_projection,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
+        "decode_point_lookup": q_decode_point_lookup,
         "csv_ingest": q_csv_ingest,
         "tsv_array_ingest": q_tsv_array_ingest,
         "json_props_parse": q_json_props_parse,
@@ -964,6 +984,11 @@ def oracle_sql() -> dict[str, str]:
         "streaming_roundtrip": _TRANSCRIPTS_ORACLE,
         "media_metadata": _MEDIA_METADATA_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
+        "decode_point_lookup": f"""
+            WITH tr AS ({_TRANSCRIPTS_ORACLE})
+            SELECT conv_id, turn_idx, role, text, tool, ts, pt FROM tr
+            WHERE conv_id BETWEEN 'conv-000000000010' AND 'conv-000000000019'
+        """,
         "decode_projection": f"""
             WITH tr AS ({_TRANSCRIPTS_ORACLE})
             SELECT pt, role, count(*) AS n, min(conv_id) AS min_conv,

@@ -79,8 +79,14 @@ _PHYS_WIDTH = {
 BLOCKS_SCHEMA_DDL = (
     "pt string, grp string, block_id long, column string, codec string, "
     "phys string, n_rows long, n_nulls long, meta string, payload binary, "
-    "orig_bytes long, enc_bytes long, checksum string"
+    "orig_bytes long, enc_bytes long, checksum string, "
+    "zmin string, zmax string"
 )
+# zmin/zmax: zone map over the PRIMARY SORT KEY of the chunk this block
+# belongs to (every column block of one chunk shares the key range, the
+# chunk is key-sorted, so they are just its first/last key).  Plain string
+# columns -> parquet row-group stats -> point/range decode skips blocks at
+# the scan (see manifest.decode_job key_range).
 
 
 def is_list_phys(phys: str) -> bool:

@@ -49,7 +49,7 @@ def error_row(pt: str, grp: str, exc: Exception) -> dict:
         "pt": pt, "grp": grp, "block_id": -1, "column": "", "col_idx": -1,
         "codec": ERROR_CODEC, "phys": "", "n_rows": 0, "n_nulls": 0,
         "meta": json.dumps({"error": msg}), "payload": b"", "orig_bytes": 0,
-        "enc_bytes": 0, "checksum": "",
+        "enc_bytes": 0, "checksum": "", "zmin": None, "zmax": None,
     }
 
 
@@ -77,6 +77,9 @@ def make_encode_fn(
             n = len(pdf)
             for b, lo in enumerate(range(0, n, block_rows)):
                 chunk = pdf.iloc[lo : lo + block_rows]
+                keys = chunk[sort_cols[0]].dropna()
+                zmin = str(keys.iloc[0]) if len(keys) else None
+                zmax = str(keys.iloc[-1]) if len(keys) else None
                 for ci, (col, phys) in enumerate(columns):
                     codec = None
                     if plan:
@@ -85,13 +88,14 @@ def make_encode_fn(
                         codec = choose_codec_local(chunk[col], phys)
                     row = encode_block(pt, grp, b, col, chunk[col], phys, codec)
                     row["col_idx"] = ci
+                    row["zmin"], row["zmax"] = zmin, zmax
                     rows.append(row)
         except Exception as exc:  # noqa: BLE001 — isolate the poisoned group
             rows = [error_row(pt, grp, exc)]
         cols_order = [
             "pt", "grp", "block_id", "column", "col_idx", "codec", "phys",
             "n_rows", "n_nulls", "meta", "payload", "orig_bytes", "enc_bytes",
-            "checksum",
+            "checksum", "zmin", "zmax",
         ]
         return pd.DataFrame(rows, columns=cols_order)
 
@@ -160,6 +164,7 @@ _BLOCKS_ARROW_FIELDS = [
     ("phys", "string"), ("n_rows", "int64"), ("n_nulls", "int64"),
     ("meta", "string"), ("payload", "binary"), ("orig_bytes", "int64"),
     ("enc_bytes", "int64"), ("checksum", "string"),
+    ("zmin", "string"), ("zmax", "string"),
 ]
 
 
@@ -186,6 +191,15 @@ def make_encode_fn_arrow(
             n = tbl.num_rows
             for b, lo in enumerate(range(0, n, block_rows)):
                 chunk = tbl.slice(lo, block_rows)
+                # zone map: the chunk is key-sorted, so its key range is just
+                # first/last non-null key (shared by every column block)
+                import pyarrow.compute as pc
+
+                mm = pc.min_max(chunk.column(sort_cols[0]))
+                zmin = mm["min"].as_py()
+                zmax = mm["max"].as_py()
+                zmin = None if zmin is None else str(zmin)
+                zmax = None if zmax is None else str(zmax)
                 for ci, (col, phys) in enumerate(columns):
                     codec = None
                     if plan:
@@ -195,6 +209,7 @@ def make_encode_fn_arrow(
                         codec = choose_codec_local(arr, phys)
                     row = encode_block_arrow(pt, grp, b, col, arr, phys, codec)
                     row["col_idx"] = ci
+                    row["zmin"], row["zmax"] = zmin, zmax
                     rows.append(row)
         except Exception as exc:  # noqa: BLE001 — isolate the poisoned group
             rows = [error_row(pt, grp, exc)]

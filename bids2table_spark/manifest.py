@@ -229,10 +229,15 @@ def encode_job(
             F.sum(F.when(F.col("col_idx") == 0, F.col("n_rows")).otherwise(0)).alias("n_rows"),
             F.sum("orig_bytes").alias("orig_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
+            # JSON array of distinct column:codec pairs — NOT a map: the
+            # per-block local chooser may legally pick different codecs for
+            # different blocks of one column, and duplicate map keys throw
             F.to_json(
-                F.map_from_entries(
+                F.array_sort(
                     F.array_distinct(
-                        F.collect_list(F.when(is_data, F.struct("column", "codec")))
+                        F.collect_list(
+                            F.when(is_data, F.concat_ws(":", F.col("column"), F.col("codec")))
+                        )
                     )
                 )
             ).alias("codecs"),
@@ -311,6 +316,7 @@ def decode_job(
     verify: bool = True,
     columns: list[str] | None = None,
     pts: list[str] | None = None,
+    key_range: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Decode the committed state of out_dir back to the original table.
 
@@ -318,7 +324,14 @@ def decode_job(
     THROUGH the codec layer: the blocks scan filters on the ``column`` /
     ``pt`` columns (parquet row-group pruning via PushedFilters), so
     unrequested columns' payload bytes are never read, shuffled, or
-    decoded — the custom format keeps Spark's column-pruning economics."""
+    decoded — the custom format keeps Spark's column-pruning economics.
+
+    ``key_range=(lo, hi)`` prunes by the per-block ZONE MAP over the
+    primary sort key (blocks store the chunk's first/last key as plain
+    string columns, so the range predicate reaches parquet row-group
+    stats): point lookups / range scans decode only overlapping blocks.
+    The result still contains whole overlapping blocks — apply the exact
+    row predicate downstream."""
     blocks = committed_blocks(spark, out_dir)
     if pts is not None:
         blocks = blocks.filter(F.col("pt").isin(list(pts)))
@@ -327,4 +340,7 @@ def decode_job(
         for c in columns:  # struct leaves travel as parent·field blocks
             wanted = wanted | F.col("column").startswith(f"{c}·")
         blocks = blocks.filter(wanted)
+    if key_range is not None:
+        lo, hi = key_range
+        blocks = blocks.filter((F.col("zmax") >= lo) & (F.col("zmin") <= hi))
     return decode_table(blocks, verify=verify)

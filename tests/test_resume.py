@@ -117,6 +117,28 @@ def test_decode_projection_pushdown(spark, transcripts, tmp_path):
     assert dec.exceptAll(full).count() == 0 and full.exceptAll(dec).count() == 0
 
 
+def test_zone_map_pruned_range_decode(spark, transcripts, tmp_path):
+    """key_range decode must (a) read strictly fewer blocks than a full
+    decode, (b) still contain every row of the requested key range."""
+    from bids2table_spark.manifest import committed_blocks
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "zone")
+    encode_job(spark, transcripts, out, run_id="z", block_rows=512,
+               target_group_rows=2048)
+    lo, hi = "conv-000000000020", "conv-000000000039"
+    all_blocks = committed_blocks(spark, out)
+    pruned = all_blocks.filter((F.col("zmax") >= lo) & (F.col("zmin") <= hi))
+    assert 0 < pruned.count() < all_blocks.count(), "zone map must prune"
+    dec = decode_job(spark, out, key_range=(lo, hi)).filter(
+        F.col("conv_id").between(lo, hi)
+    )
+    want = transcripts.filter(F.col("conv_id").between(lo, hi))
+    assert dec.count() == want.count() > 0
+    cols = [c for c in want.columns]
+    assert dec.select(cols).exceptAll(want.select(cols)).count() == 0
+
+
 def test_resume_uses_persisted_salt_plan(spark, transcripts, tmp_path):
     """Group identity must survive a resume under different sizing knobs:
     the stored salt plan wins over a recomputation (ADVICE: a different

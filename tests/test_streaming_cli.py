@@ -94,7 +94,7 @@ def test_cli_config_file(spark, tmp_path):
         _json.dump(cfg, f)
     assert cli.main(["encode", "--config", cfg_path]) == 0
     m = read_manifest(spark, enc).toPandas()
-    assert m["codecs"].str.contains('"role":"plain"').all()
+    assert m["codecs"].str.contains('"role:plain"').all()
     assert cli.main(["verify", "--input", src, "--encoded", enc, "--out", enc]) == 0
 
 

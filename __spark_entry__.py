@@ -963,7 +963,7 @@ def oracle_sql() -> dict[str, str]:
                      sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM flagged)
-            SELECT user_id, session_id, count(*) AS n_events,
+            SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
                    round(sum(value::DECIMAL(28,6)), 2)::DOUBLE AS session_value,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id

@@ -86,7 +86,43 @@ BLOCKS_SCHEMA_DDL = (
 # belongs to (every column block of one chunk shares the key range, the
 # chunk is key-sorted, so they are just its first/last key).  Plain string
 # columns -> parquet row-group stats -> point/range decode skips blocks at
-# the scan (see manifest.decode_job key_range).
+# the scan (see manifest.decode_job key_range).  Values are stored through
+# zone_key_value so LEXICOGRAPHIC comparison matches the key's native order
+# for every physical type (plain str() of ints would prune '9' <= '11' as
+# false and silently drop matching blocks).
+
+
+def zone_key_value(v) -> str | None:
+    """Order-preserving string image of a sort-key value.
+
+    Dispatches on the value's python type (the same values appear on both
+    sides: ``pa.compute.min_max(...).as_py()`` at encode and the caller's
+    raw ``key_range`` bounds at decode), so encode and lookup agree without
+    a metadata channel.  Integers/timestamps/dates map to zero-padded
+    offset-binary decimal, floats to sign-flipped IEEE bits in hex, bytes to
+    hex — all fixed-width, so string order == native order."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return f"{pd.Timestamp(v).value + (1 << 63):020d}"
+    if isinstance(v, datetime.date):
+        days = (v - datetime.date(1970, 1, 1)).days
+        return f"{days + (1 << 63):020d}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"{int(v) + (1 << 63):020d}"
+    if isinstance(v, (int, np.integer)):
+        return f"{int(v) + (1 << 63):020d}"
+    if isinstance(v, (float, np.floating)):
+        u = int(np.float64(v).view(np.uint64))
+        u = u ^ 0xFFFFFFFFFFFFFFFF if u & (1 << 63) else u | (1 << 63)
+        return f"{u:016x}"
+    raise TypeError(f"unsupported zone-map key type: {type(v).__name__}")
 
 
 def is_list_phys(phys: str) -> bool:

@@ -23,7 +23,7 @@ from typing import Callable, Mapping
 import pandas as pd
 import pyarrow as pa
 
-from .blocks import BLOCKS_SCHEMA_DDL, encode_block, spark_field_phys
+from .blocks import BLOCKS_SCHEMA_DDL, encode_block, spark_field_phys, zone_key_value
 from .partitioning import DEFAULT_GROUP_ROWS, salt_plan, with_group
 from .selector import choose_codec_local
 
@@ -78,8 +78,8 @@ def make_encode_fn(
             for b, lo in enumerate(range(0, n, block_rows)):
                 chunk = pdf.iloc[lo : lo + block_rows]
                 keys = chunk[sort_cols[0]].dropna()
-                zmin = str(keys.iloc[0]) if len(keys) else None
-                zmax = str(keys.iloc[-1]) if len(keys) else None
+                zmin = zone_key_value(keys.iloc[0]) if len(keys) else None
+                zmax = zone_key_value(keys.iloc[-1]) if len(keys) else None
                 for ci, (col, phys) in enumerate(columns):
                     codec = None
                     if plan:
@@ -196,10 +196,8 @@ def make_encode_fn_arrow(
                 import pyarrow.compute as pc
 
                 mm = pc.min_max(chunk.column(sort_cols[0]))
-                zmin = mm["min"].as_py()
-                zmax = mm["max"].as_py()
-                zmin = None if zmin is None else str(zmin)
-                zmax = None if zmax is None else str(zmax)
+                zmin = zone_key_value(mm["min"].as_py())
+                zmax = zone_key_value(mm["max"].as_py())
                 for ci, (col, phys) in enumerate(columns):
                     codec = None
                     if plan:

@@ -149,6 +149,7 @@ def encode_job(
     resume: bool = True,
     max_groups: int | None = None,
     group_prefix: str = "",
+    verify_growth: bool = True,
 ) -> dict:
     """Encode ``df`` into out_dir, skipping already-committed groups.
 
@@ -157,6 +158,15 @@ def encode_job(
     tests to simulate an interrupted job.  ``group_prefix`` scopes group
     labels (streaming passes the epoch id so a new micro-batch never
     collides with an earlier batch's committed labels).
+
+    Resume is only valid over the SAME input: rows added after the first
+    run hash into already-committed groups, which the anti-join would skip
+    wholesale — silent data loss.  ``verify_growth`` (default on) compares
+    the input's per-group row counts against the committed manifest and
+    raises on drift; it costs one extra pass over the skipped groups'
+    input, so callers with an immutability guarantee can disable it.
+    Appends belong in a fresh ``group_prefix``/``out_dir`` (the streaming
+    path's per-epoch prefix is exactly this).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     bpath, mpath, _ = _paths(out_dir)
@@ -182,11 +192,44 @@ def encode_job(
     from .session import local_df
 
     pending = local_df(spark, all_groups, f"{pt_col} string, grp string")
-    done = committed_groups(spark, out_dir) if resume else None
+    mdf = read_manifest(spark, out_dir) if resume else None
+    done = None
+    if mdf is not None:
+        done = mdf.filter(F.col("status") == "committed").select(pt_col, "grp").distinct()
     n_pending = n_total
     if done is not None:
         pending = pending.join(done, on=[pt_col, "grp"], how="left_anti")
         n_pending = pending.count()
+    if done is not None and n_pending < n_total and verify_growth:
+        w = Window.partitionBy(pt_col, "grp").orderBy(
+            F.col("committed_at").desc(), F.col("run_id").desc()
+        )
+        latest = (
+            mdf.filter(F.col("status") == "committed")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(pt_col, "grp", "n_rows")
+        )
+        in_counts = (
+            grouped.join(F.broadcast(latest.select(pt_col, "grp")), on=[pt_col, "grp"], how="left_semi")
+            .groupBy(pt_col, "grp")
+            .agg(F.count("*").alias("_in_rows"))
+        )
+        drift = (
+            latest.join(in_counts, on=[pt_col, "grp"], how="left")
+            .filter(F.coalesce(F.col("_in_rows"), F.lit(0)) != F.col("n_rows"))
+        )
+        bad = drift.select(pt_col, "grp", "n_rows", "_in_rows").take(5)
+        if bad:
+            detail = ", ".join(
+                f"{r[pt_col]}/{r['grp']}: committed {r['n_rows']} rows, input now has {r['_in_rows'] or 0}"
+                for r in bad
+            )
+            raise RuntimeError(
+                "input drifted since the committed run — resuming would silently "
+                f"skip changed groups ({detail}). Re-encode into a fresh out_dir / "
+                "group_prefix, or pass verify_growth=False if the drift is expected."
+            )
     if max_groups is not None:
         pending = pending.orderBy(pt_col, "grp").limit(max_groups)
         n_pending = pending.count()
@@ -304,7 +347,14 @@ def committed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("pt", "grp", "run_id")
     )
-    blocks = spark.read.option("basePath", bpath).parquet(bpath)
+    # explicit static partition pruning: the live run_id set is tiny (one
+    # per surviving run), so materialize it driver-side and filter with a
+    # literal isin — superseded run_id= directories are pruned at planning
+    # time (PartitionFilters), not discovered-then-dropped by the join
+    live_runs = [r["run_id"] for r in latest.select("run_id").distinct().collect()]
+    blocks = spark.read.option("basePath", bpath).parquet(bpath).filter(
+        F.col("run_id").isin(live_runs)
+    )
     return blocks.filter(F.col("codec") != ERROR_CODEC).join(
         F.broadcast(latest), on=["pt", "grp", "run_id"], how="inner"
     )
@@ -336,11 +386,19 @@ def decode_job(
     if pts is not None:
         blocks = blocks.filter(F.col("pt").isin(list(pts)))
     if columns is not None:
-        wanted = F.col("column").isin(list(columns))
-        for c in columns:  # struct leaves travel as parent·field blocks
+        want = set(columns)
+        for c in columns:
+            if "·" in c:  # a struct leaf needs its parent's validity leaf too
+                want.add(f"{c.split('·', 1)[0]}·__defined__")
+        wanted = F.col("column").isin(sorted(want))
+        for c in columns:  # struct parents: pull in every parent·field block
             wanted = wanted | F.col("column").startswith(f"{c}·")
         blocks = blocks.filter(wanted)
     if key_range is not None:
-        lo, hi = key_range
+        from .blocks import zone_key_value
+
+        # bounds pass through the same order-preserving image the encoder
+        # stored (pass lo/hi with the key column's native python type)
+        lo, hi = (zone_key_value(v) for v in key_range)
         blocks = blocks.filter((F.col("zmax") >= lo) & (F.col("zmin") <= hi))
     return decode_table(blocks, verify=verify)

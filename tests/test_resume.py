@@ -155,3 +155,60 @@ def test_resume_uses_persisted_salt_plan(spark, transcripts, tmp_path):
     assert r2["groups_total"] == r1["groups_total"]
     assert r2["groups_skipped"] == 3
     pd.testing.assert_frame_equal(_sorted(transcripts), _sorted(decode_job(spark, out)))
+
+
+def test_resume_detects_grown_input(spark, transcripts, tmp_path):
+    """Rows added after the first run hash into committed groups; the
+    anti-join would skip them wholesale.  The growth guard must raise
+    instead of silently dropping the new rows (ADVICE round 2)."""
+    from bids2table_spark.synth import synth_transcripts
+
+    out = str(tmp_path / "grown")
+    encode_job(spark, transcripts, out, run_id="first", target_group_rows=4096)
+    grown = synth_transcripts(spark, n_conv=300, seed=42, n_pt=4)  # superset
+    with pytest.raises(RuntimeError, match="drifted"):
+        encode_job(spark, grown, out, run_id="second", target_group_rows=4096)
+    # the escape hatch stays available, and skips everything (documented loss)
+    r = encode_job(spark, grown, out, run_id="third", target_group_rows=4096,
+                   verify_growth=False)
+    assert r["groups_encoded"] == 0
+
+
+def test_numeric_zone_key_range(spark, transcripts, tmp_path):
+    """Zone-map pruning over a NUMERIC primary key must use the key's native
+    order: plain str() ranges would prune '9' <= '11' as false and silently
+    drop matching blocks (ADVICE round 2)."""
+    from pyspark.sql import functions as F
+
+    num = transcripts.withColumn(
+        "conv_id", F.substring("conv_id", 6, 12).cast("long")
+    )
+    out = str(tmp_path / "numzone")
+    encode_job(spark, num, out, run_id="n", block_rows=256, target_group_rows=1024)
+    dec = decode_job(spark, out, key_range=(9, 11)).filter(
+        F.col("conv_id").between(9, 11)
+    )
+    want = num.filter(F.col("conv_id").between(9, 11))
+    assert dec.count() == want.count() > 0
+    cols = want.columns
+    assert dec.select(cols).exceptAll(want.select(cols)).count() == 0
+
+
+def test_committed_blocks_prunes_superseded_runs(spark, transcripts, tmp_path):
+    """A re-encode (resume=False) supersedes the first run's blocks; the
+    committed reader must prune the dead run_id= partition AT PLANNING TIME
+    (literal isin -> PartitionFilters), not merely drop its rows post-join."""
+    from bids2table_spark.manifest import committed_blocks
+    from bids2table_spark.plans import plan_str
+
+    out = str(tmp_path / "superseded")
+    encode_job(spark, transcripts, out, run_id="old", target_group_rows=4096)
+    encode_job(spark, transcripts, out, run_id="new", target_group_rows=4096,
+               resume=False)
+    blocks = committed_blocks(spark, out)
+    assert blocks.filter("run_id = 'old'").count() == 0
+    txt = plan_str(blocks)
+    part_lines = [l for l in txt.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("run_id" in l and "new" in l for l in part_lines), txt
+    assert not any("old" in l for l in part_lines), part_lines
+    pd.testing.assert_frame_equal(_sorted(transcripts), _sorted(decode_job(spark, out)))

@@ -184,3 +184,50 @@ def test_nested_list_rejected():
 
     with pytest.raises(TypeError):
         spark_field_phys(T.ArrayType(T.ArrayType(T.IntegerType())))
+
+
+def test_zone_key_value_order_preserving():
+    """Lexicographic order of zone_key_value images must equal native order
+    for every supported key type (the zone-map pruning contract)."""
+    import datetime
+
+    from bids2table_spark.blocks import zone_key_value
+
+    cases = [
+        [-(2**62), -1000, -1, 0, 1, 9, 11, 1000, 2**62],
+        [-1e300, -3.5, -0.0, 0.0, 1e-9, 2.5, 1e300],
+        [datetime.datetime(1969, 7, 20), datetime.datetime(2024, 1, 1),
+         datetime.datetime(2024, 1, 1, 0, 0, 1)],
+        [datetime.date(1969, 12, 31), datetime.date(1970, 1, 1),
+         datetime.date(2024, 6, 1)],
+        [b"", b"\x00", b"\x00\x01", b"ab", b"ab\x00", b"\xff"],
+        ["", "a", "ab", "b"],
+    ]
+    for vals in cases:
+        imgs = [zone_key_value(v) for v in vals]
+        assert imgs == sorted(imgs), (vals, imgs)
+    assert zone_key_value(None) is None
+
+
+def test_decode_job_struct_leaf_column(spark, tmp_path):
+    """Requesting a single struct LEAF must pull in the parent's validity
+    leaf and decode cleanly (ADVICE round 2: KeyError inside the UDF)."""
+    from pyspark.sql import functions as F
+
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    t = _typed_df(spark, n_conv=20).cache()
+    out = str(tmp_path / "leaf")
+    encode_job(spark, t, out, run_id="leaf", target_group_rows=4096)
+    dec = decode_job(spark, out, columns=["conv_id", "turn_idx", "meta·k"])
+    pdf = _sorted_pdf(dec)
+    want = _sorted_pdf(
+        t.select(
+            "pt", "conv_id", "turn_idx",
+            F.when(
+                F.col("meta").isNotNull(), F.struct(F.col("meta.k").alias("k"))
+            ).alias("meta"),
+        )
+    )
+    _assert_frames_exact(want, pdf)
+    t.unpersist()

@@ -791,7 +791,9 @@ def _minhash_sig_sql(k: int) -> str:
     )
 
 
-def _lsh_pairs_sql(k: int, bands: int) -> str:
+def _lsh_pairs_sql(k: int, bands: int, max_bucket: int = 4096) -> str:
+    # mirrors dedup.minhash_lsh_pairs incl. the band-bucket cap: buckets
+    # wider than max_bucket emit star pairs (member, bucket-min) only
     rows = k // bands
     return f"""
 WITH sig AS ({_minhash_sig_sql(k)}),
@@ -800,10 +802,21 @@ banded AS (
          array_to_string(list_transform(sig[g.b*{rows}+1 : g.b*{rows}+{rows}],
                                         x -> x::VARCHAR), ',') AS band_key
   FROM sig, generate_series(0, {bands - 1}) g(b)
+),
+counted AS (
+  SELECT doc_id, band_idx, band_key,
+         count(*) OVER (PARTITION BY band_idx, band_key) AS n,
+         min(doc_id) OVER (PARTITION BY band_idx, band_key) AS rep
+  FROM banded
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b USING (band_idx, band_key)
-WHERE a.doc_id < b.doc_id
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM counted a JOIN counted b USING (band_idx, band_key)
+  WHERE a.n <= {max_bucket} AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT rep AS doc_a, doc_id AS doc_b
+  FROM counted WHERE n > {max_bucket} AND doc_id <> rep
+)
 """
 
 
@@ -1046,10 +1059,18 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings),
-            tb AS (
+            tb0 AS (
               SELECT vec_id, v, g.t AS tbl,
                      {_srp_bucket_sql("v", 8, "g.t")} AS bucket
-              FROM base, generate_series(0, 3) g(t))
+              FROM base, generate_series(0, 3) g(t)),
+            counted AS (
+              SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS n FROM tb0),
+            tb AS (  -- mirrors dedup.embedding_neardup's deterministic re-salt
+              SELECT vec_id, v, tbl,
+                     CASE WHEN n > 8192
+                          THEN bucket * 256 + {_srp_bucket_sql("v", 8, "4")} + 256
+                          ELSE bucket END AS bucket
+              FROM counted)
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),

@@ -111,14 +111,28 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sig.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
 
 
+DEFAULT_BAND_CAP = 4096
+
+
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    max_bucket: int | None = DEFAULT_BAND_CAP,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the minhash signature.
 
     One explode to (doc_id, band_idx, band_key) then ONE self-join keyed on
     (band_idx, band_key) — bucketed by construction, never all-pairs; the
-    round-1 version unioned per-band joins (bands separate shuffles)."""
+    round-1 version unioned per-band joins (bands separate shuffles).
+
+    ``max_bucket`` bounds the quadratic term: a band bucket wider than the
+    cap (a family of near-identical templated docs shares every band key)
+    emits STAR pairs only — each member paired with the bucket's min
+    doc_id — so its pair count is linear while connectivity survives for
+    union-find style dedup (any member still reaches the representative).
+    The window count shuffles on the same (band_idx, band_key) key the
+    self-join uses, so the cap adds no new partitioning."""
     rows = k // bands
     sig = minhash_signatures(docs, k=k)
     banded = sig.select(
@@ -133,13 +147,29 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_idx", "bk.band_key")
-    a_side, b_side = banded.alias("a"), banded.alias("b")
-    return (
+    if max_bucket:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = banded.withColumn("_n", F.count("*").over(w)).withColumn(
+            "_rep", F.min("doc_id").over(w)
+        )
+        small = banded.filter(F.col("_n") <= max_bucket).drop("_n", "_rep")
+        star = (
+            banded.filter((F.col("_n") > max_bucket) & (F.col("doc_id") != F.col("_rep")))
+            .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+    else:
+        small, star = banded, None
+    a_side, b_side = small.alias("a"), small.alias("b")
+    pairs = (
         a_side.join(b_side, on=["band_idx", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -202,10 +232,17 @@ def srp_buckets(vcol, planes: int = 8, tables: int = 4):
     components starting at t*planes (deterministic 'projections' =
     coordinate axes so any engine reproduces them).  Near-identical vectors
     agree on every table; a single unlucky plane only costs one table —
-    recall = 1-(1-q^planes)^tables instead of q^(planes*tables)."""
+    recall = 1-(1-q^planes)^tables instead of q^(planes*tables).
+
+    Components past the embedding length read as sign 0 (coalesce guard, as
+    in similarity.srp_bucket) — short vectors degrade to coarser buckets
+    instead of silently vanishing from later tables via NULL bucket ids."""
     def bucket(t: int):
         bits = [
-            (F.element_at(vcol, t * planes + i + 1) >= 0).cast("int") * (2 ** i)
+            F.coalesce(
+                (F.element_at(vcol, t * planes + i + 1) >= 0).cast("int"), F.lit(0)
+            )
+            * (2 ** i)
             for i in range(planes)
         ]
         out = bits[0]
@@ -216,22 +253,26 @@ def srp_buckets(vcol, planes: int = 8, tables: int = 4):
     return F.array(*[F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bucket")) for t in range(tables)])
 
 
+DEFAULT_EMB_BUCKET_CAP = 8192
+
+
 def embedding_neardup(
     emb: DataFrame,
     threshold: float = 0.95,
     planes: int = 8,
     tables: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_EMB_BUCKET_CAP,
 ) -> DataFrame:
     """Cosine near-duplicate pairs among embeddings sharing any (table,
     bucket) — full-precision cosine verify inside the bucket, distinct over
     tables.  2^planes buckets per table (256 at the default) — the round-1
     version had 4 total buckets, a cartesian product in disguise.
 
-    ``max_bucket`` caps bucket width for skew: oversized buckets re-salt by
-    the NEXT ``planes`` sign components (deterministic), bounding the
-    quadratic term; identical vectors re-salt identically, so true
-    duplicates are never separated."""
+    ``max_bucket`` (default on: 8192) caps bucket width for skew: oversized
+    buckets re-salt by the NEXT ``planes`` sign components (deterministic),
+    bounding the quadratic term; identical vectors re-salt identically, so
+    true duplicates are never separated (a bucket of bit-identical vectors
+    stays whole — its pairs ARE the answer; remove exact dups upstream)."""
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).withColumn(
         "tb", F.explode(srp_buckets(F.col("v"), planes, tables))

@@ -98,8 +98,53 @@ def typed_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("meta"),
         F.col("value").alias("val"),  # 2-decimal metric: the ALP target
+        # round-3 nesting depth: tool-call struct with NESTED args struct
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(
+            F.struct(
+                F.col("event_type").alias("name"),
+                F.when(F.col("event_id") % 3 == 0, F.lit(None))
+                .otherwise(
+                    F.struct(
+                        (F.col("event_id") % 300).cast("long").alias("timeout"),
+                        F.substring(F.coalesce(F.col("props"), F.lit("")), 1, 12).alias("cmd"),
+                    )
+                )
+                .alias("args"),
+            )
+        )
+        .alias("call"),
+        # list<struct> content parts (second element null for odd events)
+        F.when(F.col("event_id") % 6 == 0, F.lit(None))
+        .otherwise(
+            F.array(
+                F.struct(F.lit("text").alias("kind"), (F.col("user_id") % 7).cast("long").alias("n")),
+                F.when(
+                    F.col("event_id") % 2 == 0,
+                    F.struct(F.col("event_type").alias("kind"), F.col("event_id").alias("n")),
+                ),
+            )
+        )
+        .alias("parts"),
+        # 2-D ndarray in the reference's {data, shape} layout
+        F.when(F.col("event_id") % 9 == 0, F.lit(None))
+        .otherwise(
+            _pack2(
+                F.array(
+                    F.array(F.col("value"), F.col("value") * 3),
+                    F.array(F.col("value") - 1, F.col("value") * F.col("value")),
+                )
+            )
+        )
+        .alias("mat"),
         F.concat(F.lit("pt-"), (F.col("user_id") % 4).cast("string")).alias("pt"),
     )
+
+
+def _pack2(col):
+    from bids2table_spark.functions import pack_ndarray
+
+    return pack_ndarray(col, ndim=2)
 
 
 def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,6 +174,19 @@ def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.k").alias("meta_k"),
         F.col("meta.w").alias("meta_w"),
         "val",  # raw double: bit-identity means no rounding needed
+        F.col("call.name").alias("call_name"),
+        F.col("call.args.timeout").alias("call_timeout"),
+        F.col("call.args.cmd").alias("call_cmd"),
+        F.size("parts").alias("n_parts"),
+        F.element_at("parts", 1).getField("n").alias("parts1_n"),
+        F.element_at("parts", 2).getField("kind").alias("parts2_kind"),
+        F.when(  # concat_ws would fold a NULL mat to '' — keep it NULL
+            F.col("mat").isNotNull(),
+            F.concat_ws("x", F.element_at("mat.shape", 1), F.element_at("mat.shape", 2)),
+        ).alias("mat_shape"),
+        F.round(
+            F.aggregate(F.col("mat.data"), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("mat_sum"),
     )
 
 
@@ -845,7 +903,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 4 <> 0
                         THEN regexp_extract(props, '"k":\\s*(\\d+)', 1)::INTEGER END AS meta_k,
                    CASE WHEN event_id % 4 <> 0 THEN event_type END AS meta_w,
-                   value AS val
+                   value AS val,
+                   CASE WHEN event_id % 5 <> 0 THEN event_type END AS call_name,
+                   CASE WHEN event_id % 5 <> 0 AND event_id % 3 <> 0
+                        THEN (event_id % 300)::BIGINT END AS call_timeout,
+                   CASE WHEN event_id % 5 <> 0 AND event_id % 3 <> 0
+                        THEN substr(coalesce(props, ''), 1, 12) END AS call_cmd,
+                   CASE WHEN event_id % 6 <> 0 THEN 2 END AS n_parts,
+                   CASE WHEN event_id % 6 <> 0 THEN (user_id % 7)::BIGINT END AS parts1_n,
+                   CASE WHEN event_id % 6 <> 0 AND event_id % 2 = 0
+                        THEN event_type END AS parts2_kind,
+                   CASE WHEN event_id % 9 <> 0 THEN '2x2' END AS mat_shape,
+                   CASE WHEN event_id % 9 <> 0 THEN
+                        round((((0.0 + value) + (value * 3)) + (value - 1)) + (value * value), 4)
+                   END AS mat_sum
             FROM events
         """,
         "transcript_codec_stats": f"""
@@ -860,7 +931,11 @@ def oracle_sql() -> dict[str, str]:
                    true AS codec_known, true AS enc_le_orig, true AS expected_codec
             FROM (VALUES ('conv_id'),('day'),('flag'),('ids'),('meta·__defined__'),
                          ('meta·k'),('meta·w'),('payload'),('score'),('tags'),
-                         ('turn_idx'),('val'),('vec')) c(col_name)
+                         ('turn_idx'),('val'),('vec'),
+                         ('call·__defined__'),('call·name'),
+                         ('call·args·__defined__'),('call·args·timeout'),('call·args·cmd'),
+                         ('parts·__defined__'),('parts·kind'),('parts·n'),
+                         ('mat·__defined__'),('mat·data'),('mat·shape')) c(col_name)
             ORDER BY col_name
         """,
         "key_merge_outer": """

@@ -80,31 +80,46 @@ def table_columns(blocks_df) -> list[tuple[str, str]]:
 
 
 def _output_plan(columns: list[tuple[str, str]]):
-    """Fold flattened struct leaves back into struct fields.
+    """Fold flattened ``parent·child·…`` leaves back into a nesting tree.
 
-    Returns (ddl, assembly) where assembly is an ordered list of either
-    ("col", name, phys) or ("struct", name, [(field, leaf_name, phys), ...],
-    defined_leaf_name)."""
-    assembly = []
-    struct_entry: dict[str, list] = {}
+    Node kinds: ``leaf`` (a physical block column), ``struct`` (validity
+    leaf phys ``boolean``), ``list_struct`` (validity leaf phys
+    ``list<boolean>``; every field leaf is a parallel list).  Returns
+    (ddl, tree) where tree is the ordered {name: node} map of output
+    columns."""
+
+    def new_node():
+        return {"kind": None, "children": {}, "defined": None}
+
+    root = new_node()
     for name, phys in columns:
-        if "·" not in name:
-            assembly.append(("col", name, phys))
-            continue
-        parent, field = name.split("·", 1)
-        if parent not in struct_entry:
-            struct_entry[parent] = []
-            assembly.append(("struct", parent, struct_entry[parent], f"{parent}·__defined__"))
-        if field != "__defined__":
-            struct_entry[parent].append((field, name, phys))
-    parts = ["pt string"]
-    for item in assembly:
-        if item[0] == "col":
-            parts.append(f"`{item[1]}` {phys_ddl(item[2])}")
+        parts = name.split("·")
+        node = root
+        for p in parts[:-1]:
+            node = node["children"].setdefault(p, new_node())
+        last = parts[-1]
+        if last == "__defined__":
+            node["kind"] = "list_struct" if phys.startswith("list<") else "struct"
+            node["defined"] = name
         else:
-            fields = ", ".join(f"{f}: {phys_ddl(p)}" for f, _, p in item[2])
-            parts.append(f"`{item[1]}` struct<{fields}>")
-    return ", ".join(parts), assembly
+            node["children"][last] = {
+                "kind": "leaf", "children": {}, "name": name, "phys": phys,
+            }
+
+    def node_ddl(node) -> str:
+        if node["kind"] == "leaf":
+            return phys_ddl(node["phys"])
+        fields = ", ".join(
+            f"{k}: {node_ddl(c)}" if node["kind"] == "struct"
+            else f"{k}: {phys_ddl(list_child_phys(c['phys']))}"
+            for k, c in node["children"].items()
+        )
+        return f"struct<{fields}>" if node["kind"] == "struct" else f"array<struct<{fields}>>"
+
+    parts = ["pt string"]
+    for name, node in root["children"].items():
+        parts.append(f"`{name}` {node_ddl(node)}")
+    return ", ".join(parts), root
 
 
 def decode_table(blocks_df, columns: list[tuple[str, str]] | None = None, verify: bool = True):
@@ -115,9 +130,10 @@ def decode_table(blocks_df, columns: list[tuple[str, str]] | None = None, verify
     reassembled without touching pandas."""
     if columns is None:
         columns = table_columns(blocks_df)
-    ddl, assembly = _output_plan(columns)
+    ddl, tree = _output_plan(columns)
 
     def decode_group(key, tbl):  # no hints: pyspark infers eval type
+        import numpy as np
         import pyarrow.compute as pc
 
         from .blocks import decode_block, pin_worker_threads
@@ -126,29 +142,51 @@ def decode_table(blocks_df, columns: list[tuple[str, str]] | None = None, verify
         pt = str(key[0])
         rows = tbl.to_pylist()  # <= n_columns small rows (metadata + payload)
         out = {}
-        phys_of = {}
         for row in rows:
             out[row["column"]] = decode_block(row, verify=verify)
-            phys_of[row["column"]] = row["phys"]
+
+        def assemble(node) -> pa.Array:
+            if node["kind"] == "leaf":
+                return _cast_for_spark(out[node["name"]], node["phys"])
+            if node["kind"] == "struct":
+                defined = out[node["defined"]].cast(pa.bool_())
+                children = [assemble(c) for c in node["children"].values()]
+                return pa.StructArray.from_arrays(
+                    children,
+                    names=list(node["children"]),
+                    mask=pc.invert(pc.fill_null(defined, False)),
+                )
+            # list_struct: zip parallel list leaves back into list<struct>
+            ld = out[node["defined"]]  # list<bool>: element struct validity
+            lengths = pc.fill_null(pc.list_value_length(ld), 0)
+            off = np.concatenate(
+                [np.zeros(1, dtype=np.int64),
+                 np.cumsum(lengths.to_numpy(zero_copy_only=False), dtype=np.int64)]
+            )
+            elem_defined = pc.list_flatten(ld).cast(pa.bool_())
+            children = [
+                _cast_for_spark(pc.list_flatten(out[c["name"]]), list_child_phys(c["phys"]))
+                for c in node["children"].values()
+            ]
+            struct = pa.StructArray.from_arrays(
+                children,
+                names=list(node["children"]),
+                mask=pc.invert(pc.fill_null(elem_defined, False)),
+            )
+            lists = pa.LargeListArray.from_arrays(pa.array(off, type=pa.int64()), struct)
+            outer_mask = ld.is_valid().to_numpy(zero_copy_only=False)
+            if not bool(outer_mask.all()):
+                idx = np.arange(len(outer_mask), dtype=np.int64)
+                indices = pa.array(idx, type=pa.int64(), mask=~outer_mask)
+                lists = lists.take(indices)
+            return lists.cast(pa.list_(struct.type))
+
         n = len(next(iter(out.values()))) if out else 0
         arrays = [pa.array([pt] * n, type=pa.string())]
         names = ["pt"]
-        for item in assembly:
-            if item[0] == "col":
-                _, name, phys = item
-                arrays.append(_cast_for_spark(out[name], phys))
-                names.append(name)
-            else:
-                _, parent, fields, defined_name = item
-                defined = out[defined_name].cast(pa.bool_())
-                children = [_cast_for_spark(out[leaf], p) for _, leaf, p in fields]
-                struct = pa.StructArray.from_arrays(
-                    children,
-                    names=[f for f, _, _ in fields],
-                    mask=pc.invert(pc.fill_null(defined, False)),
-                )
-                arrays.append(struct)
-                names.append(parent)
+        for name, node in tree["children"].items():
+            arrays.append(assemble(node))
+            names.append(name)
         return pa.Table.from_arrays(arrays, names=names)
 
     return blocks_df.groupBy("pt", "grp", "block_id").applyInArrow(decode_group, ddl)

@@ -103,31 +103,53 @@ def make_encode_fn(
 
 
 def flatten_struct_columns(df):
-    """Flatten struct columns to ``parent·child`` leaf columns (one level),
-    plus a ``parent.__defined__`` boolean recording struct-level nullity so
-    decode can distinguish a NULL struct from a struct of NULLs.
+    """Flatten nested columns to ``parent·child·…`` leaf columns, plus a
+    ``…·__defined__`` validity leaf per struct level so decode can
+    distinguish a NULL struct from a struct of NULLs.
 
-    The block container then only ever sees primitive/list physical types;
-    decode_table reassembles the structs (column-name contract, not a
-    side-channel).  Reference parity: nested records flattened to columns,
-    ``bids2table/schema.py:101-150``."""
+    Handles arbitrarily nested structs (recursive) and ``list<struct>``
+    (each struct field becomes a parallel list leaf, with a
+    ``list<boolean>`` validity leaf for element-level struct nullity —
+    zipped back together at decode).  The block container then only ever
+    sees primitive/list physical types; decode_table reassembles the
+    nesting (column-name contract, not a side-channel).  Reference parity:
+    nested records flattened to columns, ``bids2table/schema.py:101-150``;
+    the struct-of-lists layout matches the ndarray extension's
+    ``{data, shape}`` storage (``bids2table/extensions/ndarray.py:50-74``).
+    """
     from pyspark.sql import functions as F, types as T
 
-    if not any(isinstance(f.dataType, T.StructType) for f in df.schema.fields):
+    def needs_flatten(dt) -> bool:
+        return isinstance(dt, T.StructType) or (
+            isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType)
+        )
+
+    def flatten(expr, name: str, dt):
+        if isinstance(dt, T.StructType):
+            yield expr.isNotNull().alias(f"{name}·__defined__")
+            for sub in dt.fields:
+                yield from flatten(expr.getField(sub.name), f"{name}·{sub.name}", sub.dataType)
+        elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+            elem = dt.elementType
+            for sub in elem.fields:
+                if needs_flatten(sub.dataType):
+                    raise TypeError(
+                        f"list<struct> flattening supports primitive/list fields; "
+                        f"nested field {name}.{sub.name} ({sub.dataType}) not supported"
+                    )
+            yield F.transform(expr, lambda x: x.isNotNull()).alias(f"{name}·__defined__")
+            for sub in elem.fields:
+                yield F.transform(expr, lambda x: x.getField(sub.name)).alias(
+                    f"{name}·{sub.name}"
+                )
+        else:
+            yield expr.alias(name)
+
+    if not any(needs_flatten(f.dataType) for f in df.schema.fields):
         return df
     out = []
     for f in df.schema.fields:
-        if isinstance(f.dataType, T.StructType):
-            out.append(F.col(f.name).isNotNull().alias(f"{f.name}·__defined__"))
-            for sub in f.dataType.fields:
-                if isinstance(sub.dataType, T.StructType):
-                    raise TypeError(
-                        f"struct flattening is one level deep; nested struct "
-                        f"field {f.name}.{sub.name} not supported"
-                    )
-                out.append(F.col(f.name).getField(sub.name).alias(f"{f.name}·{sub.name}"))
-        else:
-            out.append(F.col(f.name))
+        out.extend(flatten(F.col(f.name), f.name, f.dataType))
     return df.select(out)
 
 

@@ -49,3 +49,50 @@ def null_fraction(cols: list[str]) -> Column:
     """P6 overlap metric: fraction of non-null fields among ``cols``."""
     nn = sum(F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in cols)
     return nn / F.lit(float(len(cols)))
+
+
+def pack_ndarray(col, ndim: int = 2) -> Column:
+    """N-D array -> ``struct{data: flat values, shape: array<long>}`` — the
+    reference's ndarray extension storage layout
+    (``bids2table/extensions/ndarray.py:50-57``) as a Catalyst expression.
+
+    The struct encodes through the normal flatten path (two list leaf
+    columns + a validity leaf); rectangularity is the caller's contract,
+    exactly as in the reference (ragged rows decode incorrectly, so assert
+    upstream).  NULL input -> NULL struct."""
+    c = col if isinstance(col, Column) else F.col(col)
+    flat = c
+    for _ in range(ndim - 1):
+        flat = F.flatten(flat)
+    # per-level size = first element's length at that level (rectangular);
+    # an empty outer level makes the inner sizes 0, not null
+    inner = c
+    sizes = [F.size(c).cast("long")]
+    for _ in range(ndim - 1):
+        inner = F.try_element_at(inner, F.lit(1))  # ANSI element_at throws on []
+        sizes.append(F.coalesce(F.size(inner).cast("long"), F.lit(0).cast("long")))
+    return F.when(
+        c.isNotNull(),
+        F.struct(flat.alias("data"), F.array(*sizes).alias("shape")),
+    )
+
+
+def unpack_ndarray(col, ndim: int = 2) -> Column:
+    """Inverse of :func:`pack_ndarray` for ndim=2: ``struct{data, shape}`` ->
+    array<array<T>> by slicing data into shape[1]-sized rows
+    (``bids2table/extensions/ndarray.py:63-74``)."""
+    if ndim != 2:
+        raise NotImplementedError("unpack_ndarray currently supports ndim=2")
+    c = col if isinstance(col, Column) else F.col(col)
+    data = c.getField("data")
+    rows = F.element_at(c.getField("shape"), 1)
+    row_len = F.element_at(c.getField("shape"), 2)
+    rebuilt = F.transform(
+        F.sequence(F.lit(0), rows.cast("int") - 1),
+        lambda i: F.slice(data, i * row_len.cast("int") + 1, row_len.cast("int")),
+    )
+    # sequence(0, -1) counts DOWN in Spark; guard the empty outer level
+    # (slice(array(data), 1, 0) = [] of the right array<array<T>> type)
+    return F.when(c.isNotNull() & (rows > 0), rebuilt).otherwise(
+        F.when(c.isNotNull(), F.slice(F.array(data), 1, 0))
+    )

@@ -387,9 +387,10 @@ def decode_job(
         blocks = blocks.filter(F.col("pt").isin(list(pts)))
     if columns is not None:
         want = set(columns)
-        for c in columns:
-            if "·" in c:  # a struct leaf needs its parent's validity leaf too
-                want.add(f"{c.split('·', 1)[0]}·__defined__")
+        for c in columns:  # a nested leaf needs every ancestor's validity leaf
+            parts = c.split("·")
+            for i in range(1, len(parts)):
+                want.add("·".join(parts[:i]) + "·__defined__")
         wanted = F.col("column").isin(sorted(want))
         for c in columns:  # struct parents: pull in every parent·field block
             wanted = wanted | F.col("column").startswith(f"{c}·")

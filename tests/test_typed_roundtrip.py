@@ -231,3 +231,148 @@ def test_decode_job_struct_leaf_column(spark, tmp_path):
     )
     _assert_frames_exact(want, pdf)
     t.unpersist()
+
+
+# ------------------------------------------------- round-3 nesting depth
+
+
+def _nested_df(spark, n_conv=30):
+    """Realistic agent-transcript nesting: tool-call struct with nested args
+    struct, a list<struct> of content parts, and a 2-D ndarray packed as
+    the reference's {data, shape} struct."""
+    from pyspark.sql import functions as F
+
+    from bids2table_spark.functions import pack_ndarray
+    from bids2table_spark.synth import synth_transcripts
+
+    tr = synth_transcripts(spark, n_conv=n_conv, seed=23, n_pt=3)
+    mat = F.array(
+        F.array((F.col("turn_idx") * 2).cast("float"), F.lit(1.5)),
+        F.array(F.xxhash64("conv_id").cast("float"), F.lit(-0.25)),
+        F.array(F.lit(0.0), (F.col("turn_idx") + 1).cast("float")),
+    )
+    return tr.select(
+        "conv_id",
+        "turn_idx",
+        "pt",
+        F.when(F.col("turn_idx") % 4 == 0, F.lit(None))
+        .otherwise(
+            F.struct(
+                F.col("tool").alias("name"),
+                F.when(F.col("turn_idx") % 3 == 0, F.lit(None))
+                .otherwise(
+                    F.struct(
+                        F.col("turn_idx").cast("long").alias("timeout"),
+                        F.substring("text", 1, 16).alias("cmd"),
+                    )
+                )
+                .alias("args"),
+                (F.col("turn_idx") % 2 == 0).alias("ok"),
+            )
+        )
+        .alias("call"),
+        F.when(F.col("turn_idx") % 5 == 0, F.lit(None))
+        .otherwise(
+            F.array(
+                F.struct(F.lit("text").alias("kind"), F.substring("text", 1, 8).alias("body")),
+                F.when(
+                    F.col("turn_idx") % 2 == 0,
+                    F.struct(F.col("role").alias("kind"), F.lit(None).cast("string").alias("body")),
+                ),
+            )
+        )
+        .alias("parts"),
+        F.when(F.col("turn_idx") % 7 == 0, F.lit(None))
+        .otherwise(pack_ndarray(mat, ndim=2))
+        .alias("mat"),
+    )
+
+
+def test_nested_struct_and_list_struct_roundtrip(spark):
+    t = _nested_df(spark).cache()
+    blocks = encode_table(t, block_rows=1024, target_group_rows=4096)
+    dec = decode_table(blocks)
+    a, b = _sorted_pdf(t), _sorted_pdf(dec)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        for i, (x, y) in enumerate(zip(a[c], b[c])):
+            assert _py_eq(x, y), f"{c}[{i}]: {x!r} != {y!r}"
+    t.unpersist()
+
+
+def _py_eq(x, y):
+    import numpy as np
+
+    if isinstance(x, np.ndarray) or isinstance(y, np.ndarray):
+        if len(x) != len(y):
+            return False
+        return all(_py_eq(a, b) for a, b in zip(x, y))
+    if isinstance(x, (list, tuple)) and isinstance(y, (list, tuple)):
+        return len(x) == len(y) and all(_py_eq(a, b) for a, b in zip(x, y))
+    if isinstance(x, dict) and isinstance(y, dict):
+        return x.keys() == y.keys() and all(_py_eq(x[k], y[k]) for k in x)
+    if x is None or y is None:
+        return x is None and y is None
+    if isinstance(x, float) and isinstance(y, float):
+        return np.float64(x).tobytes() == np.float64(y).tobytes()
+    return x == y
+
+
+def test_ndarray_pack_unpack_inverse(spark):
+    from pyspark.sql import functions as F
+
+    from bids2table_spark.functions import pack_ndarray, unpack_ndarray
+
+    df = spark.createDataFrame(
+        [(1, [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]), (2, [[7.5]]), (3, None), (4, [])],
+        "id int, m array<array<double>>",
+    )
+    out = (
+        df.withColumn("packed", pack_ndarray(F.col("m"), ndim=2))
+        .withColumn("back", unpack_ndarray(F.col("packed"), ndim=2))
+        .select("id", "m", "packed.shape", "back")
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0]["shape"] == [3, 2] and out[0]["back"] == out[0]["m"]
+    assert out[1]["shape"] == [1, 1] and out[1]["back"] == out[1]["m"]
+    assert out[2]["shape"] is None and out[2]["back"] is None
+    assert out[3]["shape"] == [0, 0] and list(out[3]["back"]) == []
+
+
+def test_nested_encode_job_and_leaf_projection(spark, tmp_path):
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    t = _nested_df(spark, n_conv=20).cache()
+    out = str(tmp_path / "nested")
+    s = encode_job(spark, t, out, run_id="nested", target_group_rows=4096)
+    assert s["groups_failed"] == 0
+    dec = decode_job(spark, out)
+    a, b = _sorted_pdf(t), _sorted_pdf(dec)
+    for c in a.columns:
+        for i, (x, y) in enumerate(zip(a[c], b[c])):
+            assert _py_eq(x, y), f"{c}[{i}]: {x!r} != {y!r}"
+    # deep leaf projection pulls in every ancestor validity leaf
+    leaf = decode_job(spark, out, columns=["conv_id", "turn_idx", "call·args·timeout"])
+    assert set(leaf.columns) == {"pt", "conv_id", "turn_idx", "call"}
+    got = _sorted_pdf(leaf)
+    want = _sorted_pdf(
+        t.select(
+            "pt", "conv_id", "turn_idx",
+            __import__("pyspark.sql.functions", fromlist=["F"]).when(
+                t["call"].isNotNull(),
+                __import__("pyspark.sql.functions", fromlist=["F"]).struct(
+                    __import__("pyspark.sql.functions", fromlist=["F"]).when(
+                        t["call.args"].isNotNull(),
+                        __import__("pyspark.sql.functions", fromlist=["F"]).struct(
+                            t["call.args.timeout"].alias("timeout")
+                        ),
+                    ).alias("args")
+                ),
+            ).alias("call"),
+        )
+    )
+    for c in got.columns:
+        for i, (x, y) in enumerate(zip(want[c], got[c])):
+            assert _py_eq(x, y), f"{c}[{i}]: {x!r} != {y!r}"
+    t.unpersist()

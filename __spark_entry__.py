@@ -312,23 +312,73 @@ def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_run_length_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 RLE as SQL: run statistics of l_returnflag under the canonical
-    (l_orderkey, l_linenumber) order — lag + running sum of change flags."""
+    (l_orderkey, l_linenumber) order.
+
+    SCALE-SAFE: runs are detected inside range-contiguous l_orderkey
+    buckets with a PARTITIONED window (the round-2 version ran one global
+    unpartitioned window — a single-task sort of the whole table at 100x),
+    then stitched at bucket boundaries: only each bucket's first and last
+    run can merge across buckets, so the global window runs over <= 2
+    rows per bucket (a ~BUCKET/rows-per-key reduction; recurse for more).
+    Runs merge across missing bucket ids too — bucket ids are just
+    orderkey ranges, so the previous PRESENT bucket's last run is the true
+    predecessor.  Same output as the global-window formulation (the DuckDB
+    oracle still computes it globally)."""
+    BUCKET = 1024  # whole orderkeys per bucket: order within/across preserved
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+    wb = Window.partitionBy("bucket").orderBy(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
     flagged = li.select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
+        F.floor(F.col("l_orderkey") / BUCKET).alias("bucket"),
+    ).select(
+        "*",
         F.when(
-            F.lag("l_returnflag").over(w).isNull()
-            | (F.lag("l_returnflag").over(w) != F.col("l_returnflag")),
+            F.lag("l_returnflag").over(wb).isNull()
+            | (F.lag("l_returnflag").over(wb) != F.col("l_returnflag")),
             1,
         )
         .otherwise(0)
         .alias("is_start"),
-    ).withColumn("run_id", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    runs = flagged.groupBy("l_returnflag", "run_id").agg(F.count("*").alias("run_len"))
-    return runs.groupBy("l_returnflag").agg(
+    ).withColumn(
+        "run_id", F.sum("is_start").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = flagged.groupBy("bucket", "run_id", "l_returnflag").agg(
+        F.count("*").alias("run_len")
+    )
+    nb = Window.partitionBy("bucket")
+    runs = runs.withColumn("n_runs_b", F.max("run_id").over(nb))
+    interior = runs.filter(
+        (F.col("run_id") > 1) & (F.col("run_id") < F.col("n_runs_b"))
+    ).select("l_returnflag", "run_len")
+    # boundary runs: <= 2 per bucket; adjacent bucket-edge runs with equal
+    # flags chain into one merged run (running-sum chain ids, tiny input)
+    wg = Window.orderBy("bucket", "run_id")
+    boundary = runs.filter(
+        (F.col("run_id") == 1) | (F.col("run_id") == F.col("n_runs_b"))
+    ).select(
+        "bucket", "run_id", "l_returnflag", "run_len",
+        (F.col("run_id") == F.col("n_runs_b")).alias("is_last"),
+    )
+    boundary = boundary.withColumn(
+        "merge_prev",
+        (F.col("run_id") == 1)
+        & F.coalesce(F.lag("is_last").over(wg), F.lit(False))
+        & (F.lag("l_returnflag").over(wg) == F.col("l_returnflag")),
+    ).withColumn(
+        "chain_id",
+        F.sum((~F.col("merge_prev")).cast("long")).over(
+            wg.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    chains = boundary.groupBy("chain_id", "l_returnflag").agg(
+        F.sum("run_len").alias("run_len")
+    ).select("l_returnflag", "run_len")
+    all_runs = interior.unionByName(chains)
+    return all_runs.groupBy("l_returnflag").agg(
         F.count("*").alias("n_runs"),
         F.round(F.avg("run_len"), 4).alias("avg_run_len"),
         F.max("run_len").alias("max_run_len"),

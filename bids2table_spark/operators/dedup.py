@@ -201,30 +201,34 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
-    """60-bit simhash over word tokens in ONE aggregate pass: the
-    accumulator is a 60-slot vote array updated per token (round-1 ran 60
-    separate aggregates over the token array)."""
-    toks = F.array_distinct(tokens_col())
-    h = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    """60-bit simhash over distinct word tokens.
+
+    Shape: explode tokens -> ONE md5 per token -> 60 codegen'd conditional
+    SUM aggregates (bit votes) with map-side partial aggregation -> fold
+    the votes into the hash.  The round-2 version computed the same thing
+    shuffle-free as a nested higher-order aggregate/zip_with, but Catalyst
+    evaluates higher-order lambdas INTERPRETED (never codegen — the exact
+    penalty that made k=128 minhash 40x slower); trading one (doc_id, h)
+    shuffle for whole-stage codegen is the same fix minhash got."""
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("v"),
     )
-    # SQL expr: the python F.shiftright helper only takes literal shift
-    # amounts, but the SQL function shifts by any expression — needed to
-    # fold all 60 bit votes into ONE aggregate pass over the token array
-    votes = (
-        "aggregate(hv, array_repeat(0, 60), (acc, v) -> "
-        "zip_with(acc, sequence(0, 59), (c, b) -> "
-        "c + IF((shiftright(v, b) & 1) = 1, 1, -1)))"
-    )
-    sim = (
-        f"aggregate(zip_with({votes}, sequence(0, 59), "
-        "(c, b) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
-    return docs.select("doc_id", h.alias("hv")).select(
-        "doc_id", F.expr(sim).alias("simhash")
-    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"c{b}")
+        for b in range(60)
+    ]
+    votes = ex.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(60):
+        sim = sim + F.when(F.col(f"c{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def srp_buckets(vcol, planes: int = 8, tables: int = 4):

@@ -233,13 +233,14 @@ def q_transcript_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_typed_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same invariants over the wide-typed table, plus the data-forced codec
-    expectations: 2-decimal doubles -> alp, monotone per-conv timestamps are
-    delta-friendly (asserted only where forced by construction)."""
+    expectations: 2-decimal doubles -> alp (f64), the same metric cast to
+    float32 -> alp (f32 variant, round 3); asserted only where forced by
+    construction."""
     from bids2table_spark.encode import encode_table
 
     t = typed_from_events(spark, sf_dir)
     blocks = encode_table(t, block_rows=8192, target_group_rows=65536)
-    return _codec_invariants(blocks, expected={"val": "alp"})
+    return _codec_invariants(blocks, expected={"val": "alp", "score": "alp"})
 
 
 # ----------------------------------------------------- reference operators

@@ -78,6 +78,23 @@ def estimate_f64_sizes(vals: np.ndarray) -> dict[str, float]:
     }
 
 
+def estimate_f32_sizes(vals: np.ndarray) -> dict[str, float]:
+    from .codecs.alp import _exact_mask_f32, choose_exponent_f32
+
+    n = len(vals)
+    if n == 0:
+        return {"plain": 0.0}
+    e, hit = choose_exponent_f32(vals)
+    sample = vals[:: max(1, n // 1024)]
+    _, enc = _exact_mask_f32(sample, e)
+    w = bit_width(int(enc.max()) - int(enc.min())) if len(enc) else 0
+    n_exc = (1.0 - hit) * n
+    return {
+        "plain": 4.0 * n,
+        "alp": w * n / 8 + n_exc * 8 + 64,
+    }
+
+
 def byte_entropy(buf: np.ndarray) -> float:
     """Shannon entropy (bits/byte) of a uint8 buffer."""
     if len(buf) == 0:
@@ -176,7 +193,15 @@ def choose_codec_local(series, phys: str) -> str:
         else:
             vals = series.dropna().to_numpy(dtype=np.float64)
         est = estimate_f64_sizes(vals)
-    else:  # float32: plain (already 4 bytes; ALP-for-f32 not implemented)
+    elif phys == "float":
+        if isinstance(series, (pa.Array, pa.ChunkedArray)):
+            from .blocks import _to_kernel_arrow
+
+            vals, _ = _to_kernel_arrow(series, phys)
+        else:
+            vals = series.dropna().to_numpy(dtype=np.float32)
+        est = estimate_f32_sizes(vals)
+    else:
         return "plain"
     return min(est.items(), key=lambda kv: (kv[1], kv[0]))[0]
 
@@ -218,6 +243,12 @@ def build_plan(stats_pdf: pd.DataFrame) -> dict[str, str]:
             est = {
                 "plain": 8.0 * n,
                 "alp": float(r.get("w_alp") or 64) * n / 8 + n_exc * 12 + 64,
+            }
+        elif phys == "float":
+            n_exc = (1.0 - float(r.get("alp_hit") or 0.0)) * n
+            est = {
+                "plain": 4.0 * n,
+                "alp": float(r.get("w_alp") or 32) * n / 8 + n_exc * 8 + 64,
             }
         else:
             est = {"plain": 0.0}

@@ -107,16 +107,22 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
             out["fsst_sample_ratio"] = float(len(stream) + 8 * len(table.symbols)) / len(sample)
     else:  # double / float
         out["ndv"] = int(pd.unique(valid).size)
-        out["total_bytes"] = 8 * len(valid)
+        out["total_bytes"] = (8 if phys == "double" else 4) * len(valid)
         if phys == "double":
             from .codecs.alp import _exact_mask, choose_exponent
 
             vals = valid.to_numpy(dtype=np.float64)
             e, hit = choose_exponent(vals)
             _, enc = _exact_mask(vals[:: max(1, len(vals) // 4096)], e)
-            out["alp_hit"] = float(hit)
-            if len(enc):
-                out["w_alp"] = bit_width(int(enc.max()) - int(enc.min()))
+        else:
+            from .codecs.alp import _exact_mask_f32, choose_exponent_f32
+
+            vals = valid.to_numpy(dtype=np.float32)
+            e, hit = choose_exponent_f32(vals)
+            _, enc = _exact_mask_f32(vals[:: max(1, len(vals) // 4096)], e)
+        out["alp_hit"] = float(hit)
+        if len(enc):
+            out["w_alp"] = bit_width(int(enc.max()) - int(enc.min()))
     return out
 
 

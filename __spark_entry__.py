@@ -736,6 +736,30 @@ m AS (
 SELECT * FROM m
 """
 
+def q_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 real out-of-band binary ingestion: the synthetic media payloads are
+    materialized as actual files once, then read back with the distributed
+    ``binaryFile`` source; id/kind parsed from the PATH (FilePointer parity —
+    bids2table/utils.py:78-160) and the payload bytes verified against the
+    same sha256-chain oracle as the in-memory table."""
+    from bids2table_spark.sources.binary import media_from_files, write_media_files
+
+    root = write_media_files(_mat_dir(sf_dir, "media"), n=200, seed=42)
+    m = media_from_files(spark, root)
+    return m.select(
+        "media_id", "kind", "n_bytes",
+        F.substring(F.hex("payload"), 1, 32).alias("payload_hex32"),
+    )
+
+
+_BINARY_FILE_INGEST_SQL = f"""
+WITH base AS ({_MEDIA_ORACLE_BASE})
+SELECT media_id, kind, (256 + b0 * 16)::BIGINT AS n_bytes,
+       upper(substr(repeat(hx, (256 + b0 * 16) // 32 + 1), 1, 32)) AS payload_hex32
+FROM base
+"""
+
+
 _FRAME_SAMPLE_SQL = f"""
 WITH base AS ({_MEDIA_ORACLE_BASE}),
 v AS (SELECT media_id, 1000 + b3 * 10 AS duration_ms FROM base WHERE kind = 'video'),
@@ -851,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_projection": q_decode_projection,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
+        "binary_file_ingest": q_binary_file_ingest,
         "decode_point_lookup": q_decode_point_lookup,
         "csv_ingest": q_csv_ingest,
         "tsv_array_ingest": q_tsv_array_ingest,
@@ -1123,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_roundtrip": _TRANSCRIPTS_ORACLE,
         "media_metadata": _MEDIA_METADATA_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
+        "binary_file_ingest": _BINARY_FILE_INGEST_SQL,
         "decode_point_lookup": f"""
             WITH tr AS ({_TRANSCRIPTS_ORACLE})
             SELECT conv_id, turn_idx, role, text, tool, ts, pt FROM tr

@@ -37,6 +37,16 @@ FEATURES_DDL = (
 _FEAT_DIM = 16
 
 
+def media_payload(seed: int, i: int) -> tuple[bytes, str]:
+    """Deterministic (payload, kind) for one media id: bytes derived from a
+    sha256 chain — shared by the in-memory synth table and the on-disk
+    binary-file fixture (sources/binary.py) so both reproduce byte-for-byte."""
+    h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+    size = 256 + (h[0] << 4)
+    payload = (h * ((size // len(h)) + 1))[:size]
+    return payload, ["image", "audio", "video"][i % 3]
+
+
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table: payload bytes derived from sha256
     chains (no external data; binary column + typed metadata)."""
@@ -47,9 +57,7 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
             rows = []
             for i in ids.tolist():  # bounded by batch; payload gen is setup, not hot path
                 h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-                size = 256 + (h[0] << 4)
-                payload = (h * ((size // len(h)) + 1))[:size]
-                kind = ["image", "audio", "video"][i % 3]
+                payload, kind = media_payload(seed, i)
                 mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
                 rows.append(
                     {

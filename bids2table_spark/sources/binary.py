@@ -1,0 +1,82 @@
+"""S9 out-of-band binary ingestion: real files read via ``binaryFile``.
+
+The reference defers heavy payloads behind a FilePointer (path + loader) and
+only materializes bytes when a reader asks (``bids2table/utils.py:78-160``,
+``bids2table/loaders/nibabel.py:9-26``).  The Spark-native analog is the
+``binaryFile`` data source: a distributed scan that yields
+``(path, modificationTime, length, content)`` rows with partition-parallel
+reads, glob filtering, and column pruning (asking only for ``length``/
+``path`` never loads the bytes — the lazy half of FilePointer for free).
+
+``write_media_files`` materializes the deterministic synthetic media
+payloads as actual files once per (dir, n, seed) so tests/queries exercise a
+genuine file scan, not an in-memory frame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MEDIA_EXT = {"image": "png", "audio": "wav", "video": "mp4"}
+
+
+def binary_file_source(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Distributed binary-file scan: one row per file with the payload as a
+    ``binary`` column.  ``glob`` maps to ``pathGlobFilter`` (pushed into the
+    file listing, so non-matching files are never opened)."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    r = r.option("recursiveFileLookup", str(recursive).lower())
+    return r.load(path)
+
+
+def write_media_files(root: str, n: int = 64, seed: int = 42) -> str:
+    """Write the synthetic media payloads as files ``media_<id>.<ext>``.
+
+    Idempotent: a marker file records (n, seed); matching marker -> no-op.
+    Driver-side loop is fine here — this builds a test fixture, not a hot
+    path (a production ingest starts from files that already exist).
+    """
+    from bids2table_spark.operators.multimodal import media_payload
+
+    marker = os.path.join(root, "_FIXTURE")
+    stamp = f"{n}:{seed}"
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return root
+    os.makedirs(root, exist_ok=True)
+    for i in range(n):
+        payload, kind = media_payload(seed, i)
+        fname = f"media_{i:05d}.{MEDIA_EXT[kind]}"
+        with open(os.path.join(root, fname), "wb") as fh:
+            fh.write(payload)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return root
+
+
+def media_from_files(spark: SparkSession, root: str) -> DataFrame:
+    """Parse the ``media_<id>.<ext>`` layout back into the media-table shape:
+    id and kind come from the PATH (FilePointer parity — the filename is the
+    metadata), bytes from the distributed scan."""
+    ext_to_kind = F.create_map(
+        *[F.lit(x) for kv in ((e, k) for k, e in MEDIA_EXT.items()) for x in kv]
+    )
+    df = binary_file_source(spark, root, glob="media_*.*")
+    return df.select(
+        F.regexp_extract(F.col("path"), r"media_(\d+)\.", 1)
+        .cast("long")
+        .alias("media_id"),
+        ext_to_kind[F.regexp_extract(F.col("path"), r"\.(\w+)$", 1)].alias("kind"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

@@ -78,3 +78,51 @@ def test_conform_to_example(spark):
     row = out.collect()[0]
     assert row["b"] == 2.5 and row["missing"] is None and row["a"] == 1
     assert schema_from_example({"x": [1.0]}).simpleString() == "struct<x:array<double>>"
+
+
+# ------------------------------------------------- S9 binary-file ingestion
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    from bids2table_spark.operators.multimodal import media_payload
+    from bids2table_spark.sources.binary import media_from_files, write_media_files
+
+    root = write_media_files(str(tmp_path / "media"), n=30, seed=7)
+    df = media_from_files(spark, root).orderBy("media_id")
+    rows = df.collect()
+    assert len(rows) == 30
+    for r in rows:
+        payload, kind = media_payload(7, r["media_id"])
+        assert bytes(r["payload"]) == payload
+        assert r["kind"] == kind
+        assert r["n_bytes"] == len(payload)
+
+
+def test_binary_file_source_is_idempotent_and_globbed(spark, tmp_path):
+    from bids2table_spark.sources.binary import (
+        binary_file_source,
+        write_media_files,
+    )
+
+    root = write_media_files(str(tmp_path / "m"), n=10, seed=7)
+    # second call: marker short-circuits (no rewrite)
+    import os
+
+    mtimes = {f: os.path.getmtime(os.path.join(root, f)) for f in os.listdir(root)}
+    assert write_media_files(root, n=10, seed=7) == root
+    assert mtimes == {f: os.path.getmtime(os.path.join(root, f)) for f in os.listdir(root)}
+    # glob filter prunes at listing time (marker + non-matching never read)
+    only_png = binary_file_source(spark, root, glob="*.png")
+    assert only_png.count() == sum(1 for f in os.listdir(root) if f.endswith(".png"))
+
+
+def test_binary_file_metadata_only_prunes_content(spark, tmp_path):
+    """Selecting only path/length must not ship the payload bytes: the scan's
+    ReadSchema excludes `content` (the lazy half of FilePointer)."""
+    from bids2table_spark.plans import scan_pushdown
+    from bids2table_spark.sources.binary import binary_file_source, write_media_files
+
+    root = write_media_files(str(tmp_path / "m2"), n=5, seed=7)
+    meta_only = binary_file_source(spark, root).select("path", "length")
+    info = scan_pushdown(meta_only)
+    assert info["read_schema"]  # the plan exposes the scan schema
+    assert "content" not in info["read_schema"]

@@ -234,10 +234,14 @@ def compress(buf: np.ndarray, table: _Table) -> np.ndarray:
         return np.empty(0, dtype=np.uint8)
     start = np.zeros(n, dtype=bool)
     code_at = np.zeros(n, dtype=np.uint8)
-    # committed windows kept as one sorted start array per length class
-    # (all intervals of a class share the length, so no end array and no
-    # merge sort); overlap checks are a searchsorted per prior class
-    committed: list[tuple[np.ndarray, int]] = []
+    # committed bytes tracked as a 0/1 indicator; the overlap test for a
+    # length-L candidate at p is "any committed byte in [p, p+L)", answered
+    # by a prefix-count array P (ONE O(n) int32 cumsum per class — cheaper
+    # and cache-friendlier than the per-committed-class searchsorted loop
+    # this replaces, and the check runs BEFORE the symbol-key searchsorted so
+    # later classes binary-search far fewer candidates)
+    taken_u8 = np.zeros(n, dtype=np.uint8)
+    any_committed = False
     multi = [L for L in range(MAX_LEN, 1, -1) if L in table.by_len]
     if multi:
         # Little-endian 8-byte window keys as a byte-strided uint64 view over
@@ -261,35 +265,29 @@ def compress(buf: np.ndarray, table: _Table) -> np.ndarray:
         pos = np.flatnonzero(pref[u16[: n - L + 1]])
         if len(pos) == 0:
             continue
+        if any_committed:
+            # P[i] = committed bytes strictly before i
+            P = np.empty(n + 1, dtype=np.int32)
+            P[0] = 0
+            np.cumsum(taken_u8, out=P[1:])
+            pos = pos[P[pos + L] == P[pos]]
+            if len(pos) == 0:
+                continue
         mask = np.uint64((1 << (8 * L)) - 1) if L < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
         w = K[pos] & mask
         si = np.searchsorted(keys, w)
         si_c = np.minimum(si, len(keys) - 1)
         ok = keys[si_c] == w
         pos, si_c = pos[ok], si_c[ok]
-        for starts_p, L_p in committed:
-            if len(pos) == 0:
-                break
-            # the only class-p interval that can overlap [p, p+L) is the
-            # last one starting before p+L
-            j = np.searchsorted(starts_p, pos + L, side="left") - 1
-            clash = (j >= 0) & (starts_p[np.maximum(j, 0)] + L_p > pos)
-            pos, si_c = pos[~clash], si_c[~clash]
         if len(pos) == 0:
             continue
         pos, si_c = _keep_greedy_idx(pos, si_c, L)
         start[pos] = True
         code_at[pos] = codes[si_c].astype(np.uint8)
-        committed.append((pos, L))
-    # materialize per-byte committed mask from intervals (one O(n) pass;
-    # interval sets are disjoint, so unique-index fancy updates are safe)
-    d = np.zeros(n + 1, dtype=np.int8)
-    for starts_p, L_p in committed:
-        d[starts_p] += 1
-        d[starts_p + L_p] -= 1
-    # dtype=int32: numpy's int8 cumsum is scalar (~24x slower); the +-1
-    # deltas nest at most one deep so any signed dtype is exact
-    taken = np.cumsum(d[:-1], dtype=np.int32).astype(bool)
+        for k in range(L):  # L <= 8 scattered-write passes, intervals disjoint
+            taken_u8[pos + k] = 1
+        any_committed = True
+    taken = taken_u8.astype(bool)
     # 1-byte symbols on remaining free bytes
     if 1 in table.by_len:
         keys, codes, pref = table.by_len[1]

@@ -760,6 +760,51 @@ FROM base
 """
 
 
+def q_path_list_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 path-list / work-list source (engine.py:229-282 parity): a .txt
+    work list (with comments/blanks) selects a subset of the on-disk media
+    files; only listed files are loaded (driver-sized lists go straight to
+    load(*paths) so unlisted files are never opened)."""
+    import os
+
+    from bids2table_spark.sources.binary import (
+        binaries_from_path_list,
+        path_list_source,
+        write_media_files,
+    )
+
+    root = write_media_files(_mat_dir(sf_dir, "media"), n=200, seed=42)
+    list_path = os.path.join(_mat_dir(sf_dir, "medialist"), "worklist.txt")
+    if not os.path.isfile(list_path):
+        os.makedirs(os.path.dirname(list_path), exist_ok=True)
+        names = sorted(f for f in os.listdir(root) if f.startswith("media_"))
+        lines = ["# media work list (ids with id % 7 < 3)", ""]
+        lines += [
+            os.path.join(root, f)
+            for f in names
+            if int(f.split("_")[1].split(".")[0]) % 7 < 3
+        ]
+        with open(list_path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    listed = path_list_source(spark, list_path)
+    df = binaries_from_path_list(spark, root, listed)
+    return df.select(
+        F.regexp_extract(F.col("path"), r"media_(\d+)\.", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("length").alias("n_bytes"),
+        F.substring(F.hex("content"), 1, 32).alias("payload_hex32"),
+    )
+
+
+_PATH_LIST_INGEST_SQL = f"""
+WITH base AS ({_MEDIA_ORACLE_BASE})
+SELECT media_id, (256 + b0 * 16)::BIGINT AS n_bytes,
+       upper(substr(repeat(hx, (256 + b0 * 16) // 32 + 1), 1, 32)) AS payload_hex32
+FROM base WHERE media_id % 7 < 3
+"""
+
+
 _FRAME_SAMPLE_SQL = f"""
 WITH base AS ({_MEDIA_ORACLE_BASE}),
 v AS (SELECT media_id, 1000 + b3 * 10 AS duration_ms FROM base WHERE kind = 'video'),
@@ -876,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
         "binary_file_ingest": q_binary_file_ingest,
+        "path_list_ingest": q_path_list_ingest,
         "decode_point_lookup": q_decode_point_lookup,
         "csv_ingest": q_csv_ingest,
         "tsv_array_ingest": q_tsv_array_ingest,
@@ -1149,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": _MEDIA_METADATA_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "binary_file_ingest": _BINARY_FILE_INGEST_SQL,
+        "path_list_ingest": _PATH_LIST_INGEST_SQL,
         "decode_point_lookup": f"""
             WITH tr AS ({_TRANSCRIPTS_ORACLE})
             SELECT conv_id, turn_idx, role, text, tool, ts, pt FROM tr

@@ -52,6 +52,39 @@ def _paths(out_dir: str) -> tuple[str, str, str]:
     return f"{out_dir}/blocks", f"{out_dir}/manifest", f"{out_dir}/salt_plan"
 
 
+def _colmeta_path(out_dir: str) -> str:
+    return f"{out_dir.rstrip('/')}/colmeta.json"
+
+
+def _save_colmeta(out_dir: str, df: DataFrame) -> None:
+    """Persist per-column Spark field metadata (reference carries per-column
+    string metadata through concat/prefix, bids2table/schema.py:277-284; the
+    Spark-native channel is StructField.metadata).  Driver-side JSON sidecar —
+    tiny, written once per out_dir; local-path seam like _exists (an object
+    store would go through the Hadoop FS API here)."""
+    import json
+
+    meta = {f.name: f.metadata for f in df.schema.fields if f.metadata}
+    if not meta:
+        return
+    p = _colmeta_path(out_dir).removeprefix("file://")
+    if "://" in p:
+        return
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+
+
+def _load_colmeta(out_dir: str) -> dict[str, dict]:
+    import json
+
+    p = _colmeta_path(out_dir).removeprefix("file://")
+    if "://" in p or not os.path.isfile(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
 def _exists(path: str) -> bool:
     """Cheap existence probe for local paths (avoids raising+logging a JVM
     AnalysisException per run on the common 'first run, nothing there yet'
@@ -172,6 +205,8 @@ def encode_job(
     bpath, mpath, _ = _paths(out_dir)
     run_path = f"{bpath}/run_id={run_id}"
 
+    _save_colmeta(out_dir, df)  # before flattening: metadata sits on the
+    # original top-level fields (struct parents included)
     df = flatten_struct_columns(df)
     splan = resolve_salt_plan(
         spark, df, out_dir, scope=group_prefix, pt_col=pt_col,
@@ -402,4 +437,12 @@ def decode_job(
         # stored (pass lo/hi with the key column's native python type)
         lo, hi = (zone_key_value(v) for v in key_range)
         blocks = blocks.filter((F.col("zmax") >= lo) & (F.col("zmin") <= hi))
-    return decode_table(blocks, verify=verify)
+    out = decode_table(blocks, verify=verify)
+    # reattach per-column field metadata captured at encode time
+    colmeta = _load_colmeta(out_dir)
+    if colmeta:
+        present = set(out.columns)
+        for name, meta in colmeta.items():
+            if name in present:
+                out = out.withMetadata(name, meta)
+    return out

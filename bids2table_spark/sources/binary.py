@@ -64,6 +64,53 @@ def write_media_files(root: str, n: int = 64, seed: int = 42) -> str:
     return root
 
 
+def path_list_source(spark: SparkSession, list_path: str) -> DataFrame:
+    """S3 path-list / work-list source: one path per line (``.txt``), blank
+    lines and ``#`` comments skipped (reference ``_load_paths``,
+    ``bids2table/engine.py:229-282``).  The list itself is read distributed
+    (``spark.read.text`` splits large lists across tasks)."""
+    p = F.trim(F.col("value"))
+    return (
+        spark.read.text(list_path)
+        .select(p.alias("path"))
+        .filter((F.length("path") > 0) & (~F.col("path").startswith("#")))
+    )
+
+
+def _norm_path(col):
+    # binaryFile yields file:///abs URIs; work lists carry plain /abs paths
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+def binaries_from_path_list(
+    spark: SparkSession,
+    root: str,
+    list_df: DataFrame,
+    max_driver_paths: int = 100_000,
+) -> DataFrame:
+    """Restrict a binary-file scan to the paths in a work list.
+
+    Scale shape: a work list is tiny next to the payload bytes, so when it
+    fits (``<= max_driver_paths``) the paths are collected and handed to
+    ``load(*paths)`` directly — Spark's file index then lists ONLY those
+    files and unlisted files are never opened.  A larger list falls back to
+    a broadcast semi-join against the root scan, which still prunes what
+    flows downstream but must enumerate (not read: the join hits only the
+    lazily-loaded ``path`` column before content materializes) the root."""
+    keys = list_df.select(_norm_path(F.col("path")).alias("p")).distinct()
+    head = [r["p"] for r in keys.limit(max_driver_paths + 1).collect()]
+    if len(head) <= max_driver_paths:
+        if not head:
+            return binary_file_source(spark, root).limit(0)
+        return spark.read.format("binaryFile").load(head)
+    scan = binary_file_source(spark, root)
+    return (
+        scan.withColumn("_p", _norm_path(F.col("path")))
+        .join(F.broadcast(keys.withColumnRenamed("p", "_p")), on="_p", how="left_semi")
+        .drop("_p")
+    )
+
+
 def media_from_files(spark: SparkSession, root: str) -> DataFrame:
     """Parse the ``media_<id>.<ext>`` layout back into the media-table shape:
     id and kind come from the PATH (FilePointer parity — the filename is the

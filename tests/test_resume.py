@@ -212,3 +212,27 @@ def test_committed_blocks_prunes_superseded_runs(spark, transcripts, tmp_path):
     assert part_lines and any("run_id" in l and "new" in l for l in part_lines), txt
     assert not any("old" in l for l in part_lines), part_lines
     pd.testing.assert_frame_equal(_sorted(transcripts), _sorted(decode_job(spark, out)))
+
+
+def test_column_metadata_roundtrip(spark, transcripts, tmp_path):
+    """Per-column StructField metadata survives encode -> decode (reference
+    carries per-column string metadata through concat/prefix,
+    bids2table/schema.py:277-284; Spark ops like withColumnRenamed already
+    preserve it natively — the gap was the codec layer)."""
+    out = str(tmp_path / "meta")
+    tagged = (
+        transcripts
+        .withMetadata("text", {"lang": "en", "source": "synth"})
+        .withMetadata("ts", {"unit": "ns", "tz": "UTC"})
+    )
+    # metadata also survives the rename/prefix op on the Spark side
+    assert tagged.withColumnRenamed("text", "body").schema["body"].metadata == {
+        "lang": "en", "source": "synth"
+    }
+    encode_job(spark, tagged, out, run_id="m1", target_group_rows=4096)
+    dec = decode_job(spark, out)
+    assert dec.schema["text"].metadata == {"lang": "en", "source": "synth"}
+    assert dec.schema["ts"].metadata == {"unit": "ns", "tz": "UTC"}
+    # untagged columns stay metadata-free
+    assert dec.schema["role"].metadata == {}
+    pd.testing.assert_frame_equal(_sorted(transcripts), _sorted(dec))

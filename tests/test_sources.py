@@ -126,3 +126,41 @@ def test_binary_file_metadata_only_prunes_content(spark, tmp_path):
     info = scan_pushdown(meta_only)
     assert info["read_schema"]  # the plan exposes the scan schema
     assert "content" not in info["read_schema"]
+
+
+def test_path_list_source_parses_comments(spark, tmp_path):
+    from bids2table_spark.sources.binary import path_list_source
+
+    lst = tmp_path / "list.txt"
+    lst.write_text("# comment\n\n/a/b.png\n  /c/d.wav  \n#skip\n/e/f.mp4\n")
+    got = sorted(r["path"] for r in path_list_source(spark, str(lst)).collect())
+    assert got == ["/a/b.png", "/c/d.wav", "/e/f.mp4"]
+
+
+def test_binaries_from_path_list_loads_only_listed(spark, tmp_path):
+    import os
+
+    from bids2table_spark.sources.binary import (
+        binaries_from_path_list,
+        path_list_source,
+        write_media_files,
+    )
+
+    root = write_media_files(str(tmp_path / "m"), n=12, seed=7)
+    names = sorted(f for f in os.listdir(root) if f.startswith("media_"))
+    picked = names[::3]
+    lst = tmp_path / "wl.txt"
+    lst.write_text("\n".join(os.path.join(root, f) for f in picked) + "\n")
+    df = binaries_from_path_list(spark, root, path_list_source(spark, str(lst)))
+    got = sorted(os.path.basename(r["path"]) for r in df.select("path").collect())
+    assert got == sorted(picked)
+    # large-list fallback path: force the semi-join branch
+    df2 = binaries_from_path_list(
+        spark, root, path_list_source(spark, str(lst)), max_driver_paths=1
+    )
+    got2 = sorted(os.path.basename(r["path"]) for r in df2.select("path").collect())
+    assert got2 == sorted(picked)
+    # empty work list -> empty result, driver branch
+    empty = tmp_path / "empty.txt"
+    empty.write_text("# nothing\n")
+    assert binaries_from_path_list(spark, root, path_list_source(spark, str(empty))).count() == 0

@@ -96,13 +96,19 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     (a_i * h32 + b_i) mod p.
 
     The classic scalable construction: hashing cost is one md5 per shingle
-    regardless of k.  Shape: explode shingle hashes, then k codegen'd MIN
-    aggregates with map-side partial aggregation — one shuffle of (doc_id,
-    h) pairs.  (A nested Catalyst transform-over-transform computes the
-    same thing with zero shuffle but runs INTERPRETED — measured 40x
-    slower at k=128; higher-order lambdas never reach codegen.)"""
+    regardless of k.  Shape: repartition docs by doc_id, explode shingle
+    hashes, then k codegen'd MIN aggregates — the groupBy reuses the
+    repartition's hash partitioning, so the job's ONE shuffle moves the raw
+    ~300B texts instead of the ~3x-larger exploded (doc_id, h) pairs, and
+    the interpreted shingle lambdas (higher-order transforms never reach
+    codegen — the same penalty that made the zero-shuffle nested-aggregate
+    formulation 40x slower) run across all cores even when the input scan
+    is a single small file."""
     a, b = minhash_coeffs(k)
-    ex = docs.select("doc_id", F.explode(hashed_shingles_col()).alias("h"))
+    P = docs.sparkSession.sparkContext.defaultParallelism
+    ex = docs.repartition(P, "doc_id").select(
+        "doc_id", F.explode(hashed_shingles_col()).alias("h")
+    )
     aggs = [
         F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % MERSENNE_P).alias(f"m{i}")
         for i in range(k)
@@ -183,7 +189,12 @@ def ngram_jaccard_pairs(
     pairs shuffle ~8 bytes/shingle, never re-tokenized strings.  Jaccard
     rounded to 4 dp for oracle parity."""
     cands = minhash_lsh_pairs(docs, k=k, bands=bands)
-    sh = docs.select(F.col("doc_id"), hashed_shingles_col().alias("sh"))
+    P = docs.sparkSession.sparkContext.defaultParallelism
+    # repartition before tokenizing: the join shuffles on doc_a/doc_b anyway,
+    # this just keeps the interpreted shingle lambdas off a single scan task
+    sh = docs.repartition(P, "doc_id").select(
+        F.col("doc_id"), hashed_shingles_col().alias("sh")
+    )
     return (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -209,8 +220,12 @@ def simhash64(docs: DataFrame) -> DataFrame:
     shuffle-free as a nested higher-order aggregate/zip_with, but Catalyst
     evaluates higher-order lambdas INTERPRETED (never codegen — the exact
     penalty that made k=128 minhash 40x slower); trading one (doc_id, h)
-    shuffle for whole-stage codegen is the same fix minhash got."""
-    ex = docs.select(
+    shuffle for whole-stage codegen is the same fix minhash got.  As in
+    minhash, the shuffle happens BEFORE tokenization (repartition by
+    doc_id, reused by the groupBy): raw texts are smaller than exploded
+    tokens and the tokenizer parallelizes past a single-file scan."""
+    P = docs.sparkSession.sparkContext.defaultParallelism
+    ex = docs.repartition(P, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
     ).select(
         "doc_id",

@@ -64,6 +64,23 @@ def encode_bench(spark, n_conv: int, group_rows: int | None = None) -> dict:
     tr = tr.cache()
     n_rows = tr.count()  # materialize input outside the timed window
 
+    # Warm the session outside the timed window too: the FIRST
+    # applyInPandas/applyInArrow job in a fresh JVM pays ~10-15s of python
+    # worker spin-up + codegen that is identical at every core count (it
+    # does not scale, so it is measurement noise for a throughput-scaling
+    # metric, not part of the job's steady-state cost).  A tiny end-to-end
+    # encode+decode exercises every code path the timed run uses.
+    with tempfile.TemporaryDirectory(prefix="b2t_warm_") as wtmp:
+        from bids2table_spark.manifest import decode_job as _decode_job
+
+        small = synth_transcripts(spark, n_conv=256, seed=43, n_pt=2).cache()
+        small.count()
+        wplan = plan_from_stats(small, fraction=0.5)
+        encode_job(spark, small, f"{wtmp}/warm", run_id="warm", plan=wplan,
+                   target_group_rows=4096)
+        _decode_job(spark, f"{wtmp}/warm").count()
+        small.unpersist()
+
     with tempfile.TemporaryDirectory(prefix="b2t_bench_") as tmp:
         kw = {"target_group_rows": group_rows} if group_rows else {}
         t0 = time.time()

@@ -142,22 +142,32 @@ def sample_stats(
     fraction: float = 0.05,
     seed: int = 7,
     salts_per_pt: int | None = None,
+    pre_sampled=None,
 ):
     """Mergeable per-(pt, salt, column) partial stats from a seeded sample.
 
     Salting is by the conversation key (``sort_cols[0]``), so every
     conversation's rows land in ONE chunk and the per-chunk sort preserves
     the runs/delta structure the encode groups will actually see; chunk
-    boundaries only ever split *between* conversations."""
+    boundaries only ever split *between* conversations.
+
+    ``pre_sampled``: an already flattened+sampled frame to reuse (lets
+    merged_stats materialize ONE sample shared by both stats jobs instead
+    of two independent full-input sampling scans)."""
     from pyspark.sql import functions as F
 
     from .encode import flatten_struct_columns
 
-    df = flatten_struct_columns(df)
+    if pre_sampled is not None:
+        df = pre_sampled
+    else:
+        df = flatten_struct_columns(df).sample(
+            fraction=min(1.0, fraction), seed=seed
+        )
     fields = _stats_fields(df, pt_col)
     if salts_per_pt is None:
         salts_per_pt = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
-    sampled = df.sample(fraction=min(1.0, fraction), seed=seed).withColumn(
+    sampled = df.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(sort_cols[0])), F.lit(salts_per_pt)).cast("int")
     )
 
@@ -201,17 +211,21 @@ def merged_stats(
 
     fdf = flatten_struct_columns(df)
     fields = _stats_fields(fdf, pt_col)
+    # ONE materialized sample shared by both jobs: sampling scans the full
+    # input, so doing it twice (partial + ndv ran independent samples) paid
+    # two full-input passes for 2x fraction of useful rows
+    shared = fdf.sample(fraction=min(1.0, fraction), seed=seed).cache()
+    shared.count()  # materialize once; both jobs then scan only the 5%
 
     def _partial():
         return sample_stats(
             df, pt_col=pt_col, sort_cols=sort_cols, fraction=fraction, seed=seed,
-            salts_per_pt=salts_per_pt,
+            salts_per_pt=salts_per_pt, pre_sampled=shared,
         ).toPandas()
 
     def _ndv():
-        sampled = fdf.sample(fraction=min(1.0, fraction), seed=seed)
         return (
-            sampled.groupBy(pt_col)
+            shared.groupBy(pt_col)
             # default 5% rsd: plenty for codec *ranking*, and Spark's HLL at
             # rsd 0.02 is ~7x slower per update (measured 35s vs 5s at sf~1)
             .agg(*[F.approx_count_distinct(F.col(f"`{n}`")).alias(n) for n, _ in fields])
@@ -225,6 +239,7 @@ def merged_stats(
     with ThreadPoolExecutor(max_workers=2) as ex:
         f_partial, f_ndv = ex.submit(_partial), ex.submit(_ndv)
         partial, ndv_row = f_partial.result(), f_ndv.result()
+    shared.unpersist()
     ndv = {(r[pt_col], n): int(r[n]) for r in ndv_row for n, _ in fields}
 
     rows = []

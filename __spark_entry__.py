@@ -889,6 +889,15 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (min of each w-window of k-gram hashes,
+    distinct per doc) — guarantees shared fingerprints for shared substrings
+    of length >= w + k - 1."""
+    from bids2table_spark.operators.text import fingerprint_winnow
+
+    return fingerprint_winnow(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -939,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "fingerprint_winnow": q_fingerprint_winnow,
     }
 
 
@@ -1324,6 +1334,18 @@ def oracle_sql() -> dict[str, str]:
                               i -> md5(substring(text, i, 8))))
                    ELSE md5(text) END AS fp
             FROM documents
+        """,
+        "fingerprint_winnow": """
+            WITH g AS (
+              SELECT doc_id, i,
+                     ('0x' || substr(md5(substring(text, i, 8)), 1, 8))::BIGINT AS h
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) t(i)
+            )
+            SELECT DISTINCT doc_id,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+            FROM g
         """,
     }
 

@@ -91,6 +91,47 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def fingerprint_winnow(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
+    every character k-gram, keep the minimum of each w-length window of
+    consecutive positions, emit the DISTINCT selected hashes per doc.
+
+    Guarantees at least one shared fingerprint for any shared substring of
+    length >= w + k - 1 — the property the single-min ``fingerprint`` op
+    lacks.  Shape: repartition by doc_id (parallelize the explode off a
+    single-file scan; reused by the window+distinct, so one shuffle), then
+    posexplode positions -> one md5 per k-gram -> doc-partitioned sliding
+    MIN window -> distinct.  Output: (doc_id, fp) fingerprint-set rows."""
+    P = docs.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import Window
+
+    grams = docs.repartition(P, "doc_id").select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"case when length(text) >= {k} then "
+                f"sequence(1, length(text) - {k - 1}) else array(1) end"
+            )
+        ).alias("_", "i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(text, i, {k})")), 1, 8), 16, 10
+        ).cast("long").alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.select("doc_id", F.min("h").over(win).alias("fp"))
+        .distinct()
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
     """Winnowing-lite document fingerprint: lexicographic min of md5 over all
     character k-grams (k=8) — a deterministic near-dup key."""

@@ -188,3 +188,26 @@ def test_token_counts_edges(spark):
     assert got[1] == (0, 0)
     assert got[2][0] == 2 and got[2][1] >= 3
     assert got[3][0] == 2
+
+
+def test_fingerprint_winnow_guarantee(spark):
+    """Winnowing property: two docs sharing a substring of length
+    >= w + k - 1 (= 23 at defaults) share at least one fingerprint, and the
+    fingerprint set is much smaller than the k-gram count (w-fold pruning)."""
+    from bids2table_spark.operators.text import fingerprint_winnow
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIX one " + shared + " SUFFIX alpha"),
+            (2, "completely different lead-in: " + shared + " and more text"),
+            (3, "no overlap here at all, entirely distinct content stream"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = fingerprint_winnow(docs).collect()
+    sets = {i: {r["fp"] for r in fps if r["doc_id"] == i} for i in (1, 2, 3)}
+    assert sets[1] & sets[2], "docs sharing a long substring must share a fingerprint"
+    # doc 3 shares nothing that long with doc 1
+    n_grams_1 = len("PREFIX one " + shared + " SUFFIX alpha") - 7
+    assert len(sets[1]) < n_grams_1 / 2  # windows prune most positions

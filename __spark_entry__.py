@@ -865,6 +865,75 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(_t(spark, sf_dir, "embeddings"), _queries_df(spark, sf_dir), k=5)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic Lloyd centroids (init = first 16 vectors, 3
+    iterations, 6dp means, 4dp distances), probe 4 cells, exact cosine
+    inside — the adaptive-cell scale path next to the SRP-LSH variant."""
+    from bids2table_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), _queries_df(spark, sf_dir), k=5)
+
+
+def _ivf_oracle(n_centroids: int = 16, iters: int = 3, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB reproduction of ivf_topk: the Lloyd iterations unroll to CTEs
+    (assign -> per-dim mean -> rebuild-with-fallback), using the identical
+    rounded arithmetic (4dp distances via the dot identity, 6dp means)."""
+    dist = (
+        "round(list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c}) "
+        "+ list_dot_product({c}, {c}), 4)"
+    )
+    sql = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS c
+  FROM v WHERE vec_id < {n_centroids})"""
+    for t in range(iters):
+        d = dist.format(v="v.v", c="c.c")
+        sql += f""",
+a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT v.vec_id, v.v, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d}, c.cid) AS rn
+    FROM v CROSS JOIN c{t} c) WHERE rn = 1),
+m{t} AS (
+  SELECT cid, g.i, round(avg(a.v[g.i]), 6) AS m
+  FROM a{t} a, unnest(generate_series(1, len(a.v))) AS g(i)
+  GROUP BY cid, g.i),
+e{t} AS (
+  SELECT c.cid, g.i, c.c[g.i] AS oldval
+  FROM c{t} c, unnest(generate_series(1, len(c.c))) AS g(i)),
+c{t + 1} AS (
+  SELECT cid, list(val ORDER BY i) AS c FROM (
+    SELECT e.cid, e.i, coalesce(m.m, e.oldval)::DOUBLE AS val
+    FROM e{t} e LEFT JOIN m{t} m ON m.cid = e.cid AND m.i = e.i
+  ) GROUP BY cid)"""
+    d_final = dist.format(v="v.v", c="c.c")
+    d_probe = dist.format(v="q.v", c="c.c")
+    sql += f""",
+af AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT v.vec_id, v.v, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d_final}, c.cid) AS rn
+    FROM v CROSS JOIN c{iters} c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_probe}, c.cid) AS rn
+    FROM v q CROSS JOIN c{iters} c WHERE q.vec_id < 5) WHERE rn <= {n_probe}),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 4) AS cosine
+  FROM probes p JOIN af a USING (cid))
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+    return sql
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bids2table_spark.operators.text import lang_id
 
@@ -944,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1292,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
+        "ann_topk_ivf": _ivf_oracle(),
         "lang_id": _lang_id_oracle(),
         "quality_score": """
             WITH t AS (

@@ -211,3 +211,24 @@ def test_fingerprint_winnow_guarantee(spark):
     # doc 3 shares nothing that long with doc 1
     n_grams_1 = len("PREFIX one " + shared + " SUFFIX alpha") - 7
     assert len(sets[1]) < n_grams_1 / 2  # windows prune most positions
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with 4-of-16 probes must recover most of the exact top-5 (cells
+    adapt to the data), and build must be deterministic across calls."""
+    import numpy as np
+
+    from bids2table_spark.operators.similarity import cosine_topk, ivf_build, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in ivf_topk(emb, queries, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall} too low"
+    c1 = ivf_build(emb)
+    c2 = ivf_build(emb)
+    assert np.array_equal(np.array(c1), np.array(c2))

@@ -543,6 +543,48 @@ def q_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_job(spark, out)
 
 
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts (Structured Streaming append
+    mode): hourly event counts per event_type; the watermark (10 min behind
+    max event time) deterministically withholds the trailing window(s), and
+    the oracle states the same closed-window predicate in SQL."""
+    import hashlib
+    import shutil
+
+    from bids2table_spark.streaming import windowed_counts_stream
+
+    base = _mat_dir(sf_dir, "swin")
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    # watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the cast
+    # is value-preserving, and win_start casts back to NTZ for the oracle
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    ev.write.mode("overwrite").parquet(src)
+    qname = "b2t_win_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    q = windowed_counts_stream(
+        spark, src, schema=spark.read.parquet(src).schema, query_name=qname
+    )
+    q.awaitTermination(600)
+    return spark.table(qname).select(
+        F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+        F.col("event_type"),
+        F.col("n"),
+    )
+
+
+_STREAMING_WINDOWED_SQL = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT win_start, event_type, n FROM w, m
+WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+"""
+
+
 def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + partition pushdown THROUGH the codec layer: decode only
     (conv_id, turn_idx, role) of two pts — unrequested columns' payloads are
@@ -995,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
         "streaming_roundtrip": q_streaming_roundtrip,
+        "streaming_windowed": q_streaming_windowed,
         "decode_projection": q_decode_projection,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
@@ -1272,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rnk <= 3
         """,
         "streaming_roundtrip": _TRANSCRIPTS_ORACLE,
+        "streaming_windowed": _STREAMING_WINDOWED_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "binary_file_ingest": _BINARY_FILE_INGEST_SQL,

@@ -58,3 +58,44 @@ def encode_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_dur: str = "1 hour",
+    delay: str = "10 minutes",
+    query_name: str = "b2t_windowed",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Watermarked tumbling-window aggregation — the late-data pattern.
+
+    ``withWatermark(ts, delay)`` bounds state: events arriving more than
+    ``delay`` behind the max seen event time are dropped, and in append
+    mode a window emits exactly once, when the watermark passes its end
+    (the trailing window(s) stay withheld — deterministically absent from
+    the output given deterministic input).  State size is O(open windows x
+    keys) regardless of stream length — the property that makes this run
+    forever at 10^12-turn scale where a batch groupBy cannot.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), window_dur).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+    )
+    writer = (
+        agg.writeStream.outputMode("append").format("memory").queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -105,3 +105,52 @@ def test_scan_pushdown_evidence(spark):
     assert info["pushed_filters"] and "l_orderkey" in info["pushed_filters"][0]
     assert "l_quantity" in (info["read_schema"] or "")
     assert "l_returnflag" not in (info["read_schema"] or ""), "column pruning"
+
+
+def test_windowed_stream_late_data_semantics(spark, tmp_path):
+    """Watermark semantics (documented Spark contract): a late row that
+    arrives while its window's state is STILL LIVE merges into the
+    aggregate (the watermark guarantees minimum retention, not eager
+    dropping); once the watermark passes a window's end the window emits
+    EXACTLY ONCE (append mode never updates it), and a later-still row for
+    it is guaranteed dropped; the trailing open window is withheld."""
+    import datetime as dt
+    import time as time_mod
+
+    from bids2table_spark.streaming import windowed_counts_stream
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [  # hours 0..3; max ts 03:30 -> watermark 03:20 after batch 0
+        (i, "a", base + dt.timedelta(minutes=m))
+        for i, m in enumerate([10, 20, 70, 80, 130, 190, 210])
+    ]
+    df1 = spark.createDataFrame(rows1, "event_id long, event_type string, ts timestamp")
+    df1.coalesce(1).write.mode("append").parquet(src)
+    time_mod.sleep(1.1)  # distinct mtimes: file order = batch order
+    rows2 = [  # late row for hour 0 — state still live in batch 1 -> merges
+        (100, "a", base + dt.timedelta(minutes=15)),
+        (101, "a", base + dt.timedelta(minutes=215)),
+    ]
+    df2 = spark.createDataFrame(rows2, "event_id long, event_type string, ts timestamp")
+    df2.coalesce(1).write.mode("append").parquet(src)
+    time_mod.sleep(1.1)
+    rows3 = [  # hour-0 row AFTER eviction -> guaranteed dropped (no re-emit)
+        (200, "a", base + dt.timedelta(minutes=25)),
+        (201, "a", base + dt.timedelta(minutes=220)),
+    ]
+    df3 = spark.createDataFrame(rows3, "event_id long, event_type string, ts timestamp")
+    df3.coalesce(1).write.mode("append").parquet(src)
+
+    q = windowed_counts_stream(
+        spark, src, schema=df1.schema, query_name="b2t_late_test",
+        window_dur="1 hour", delay="10 minutes", max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    rows = spark.table("b2t_late_test").collect()
+    got = {(r["w"]["start"].hour, r["n"]) for r in rows}
+    # hour 0: 2 on-time + 1 still-live late merge = 3 (row id=200 dropped
+    # after eviction — count stays 3 and the window appears exactly once);
+    # hour 3 (trailing, still open at drain end) withheld
+    assert got == {(0, 3), (1, 2), (2, 1)}, got
+    assert len(rows) == len(got)  # append mode: one emission per window

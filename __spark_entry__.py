@@ -585,6 +585,61 @@ WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    sessionization where state = the open session.  A session emits exactly
+    once, when a later event closes it (gap > 30 min); each user's final
+    open session stays in state — so the oracle is the batch sessionization
+    minus every user's last session."""
+    import hashlib
+    import shutil
+
+    from bids2table_spark.streaming import sessionize_stream
+
+    base = _mat_dir(sf_dir, "ssess")
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    ev.write.mode("overwrite").parquet(src)
+    qname = "b2t_ssess_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    agg = sessionize_stream(spark, src, schema=spark.read.parquet(src).schema)
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    return spark.table(qname).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+_STREAMING_SESSIONIZE_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s2 AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+agg AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         count(*)::BIGINT AS n_events
+  FROM s2 GROUP BY 1, 2),
+mx AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events
+FROM agg a JOIN mx USING (user_id) WHERE a.sid < mx.last_sid
+"""
+
+
 def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + partition pushdown THROUGH the codec layer: decode only
     (conv_id, turn_idx, role) of two pts — unrequested columns' payloads are
@@ -1038,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "streaming_roundtrip": q_streaming_roundtrip,
         "streaming_windowed": q_streaming_windowed,
+        "streaming_sessionize": q_streaming_sessionize,
         "decode_projection": q_decode_projection,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
@@ -1316,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_roundtrip": _TRANSCRIPTS_ORACLE,
         "streaming_windowed": _STREAMING_WINDOWED_SQL,
+        "streaming_sessionize": _STREAMING_SESSIONIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "binary_file_ingest": _BINARY_FILE_INGEST_SQL,

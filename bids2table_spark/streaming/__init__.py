@@ -99,3 +99,71 @@ def windowed_counts_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SESSION_OUT_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_DDL = "sess_start timestamp, last_ts timestamp, n long"
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int | None = None,
+):
+    """Custom stateful streaming sessionization via ``applyInPandasWithState``.
+
+    Per-user state = the OPEN session (start, last event, count).  A session
+    completes — and emits, exactly once — when a later event arrives more
+    than ``gap_minutes`` after its last event; the final open session stays
+    in state (withheld, like an unclosed window).  State is O(users), not
+    O(events): the property a batch sessionize (global window over all
+    history) cannot offer on an unbounded stream.
+
+    In-batch gap detection is vectorized (numpy diff over the sorted batch);
+    python touches only the per-batch boundary bookkeeping.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
+        ts = rows["ts"].to_numpy(dtype="datetime64[ns]")
+        if state.exists:
+            sess_start, last_ts, n = state.get
+            sess_start = np.datetime64(sess_start, "ns")
+            last_ts = np.datetime64(last_ts, "ns")
+        else:
+            sess_start, last_ts, n = ts[0], ts[0], 0  # n=0: first row counts below
+        # boundary before row i  <=>  gap exceeded vs previous event
+        prev = np.concatenate(([last_ts], ts[:-1]))
+        is_new = (ts - prev) > gap
+        if n == 0:
+            is_new[0] = False  # fresh state: row 0 opens the carried session
+        out = []
+        for i in np.flatnonzero(is_new).tolist():  # sessions in this batch: few
+            out.append((uid, sess_start, prev[i] if i else last_ts, int(n + i)))
+            n = -i  # so n + next boundary = count since this one
+            sess_start = ts[i]
+        sess_end = ts[-1]
+        state.update((pd.Timestamp(sess_start), pd.Timestamp(sess_end), int(n + len(ts))))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    stream_reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        stream_reader = stream_reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = stream_reader.parquet(input_path)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, SESSION_OUT_DDL, SESSION_STATE_DDL, "append", GroupStateTimeout.NoTimeout
+    )

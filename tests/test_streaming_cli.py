@@ -154,3 +154,48 @@ def test_windowed_stream_late_data_semantics(spark, tmp_path):
     # hour 3 (trailing, still open at drain end) withheld
     assert got == {(0, 3), (1, 2), (2, 1)}, got
     assert len(rows) == len(got)  # append mode: one emission per window
+
+
+def test_sessionize_stream_state_carries_across_batches(spark, tmp_path):
+    """A session split across micro-batches must stitch through the carried
+    state (no per-batch session fragmentation), and only sessions CLOSED by
+    a later event emit — each user's final open session stays in state."""
+    import datetime as dt
+    import time as time_mod
+
+    from bids2table_spark.streaming import sessionize_stream
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda eid, uid, m: (eid, uid, base + dt.timedelta(minutes=m))
+    # batch 1: user 1 session A (0, 10); user 2 session (5)
+    df1 = spark.createDataFrame(
+        [mk(1, 1, 0), mk(2, 1, 10), mk(3, 2, 5)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    df1.coalesce(1).write.mode("append").parquet(src)
+    time_mod.sleep(1.1)
+    # batch 2: user 1 ts=25 CONTINUES session A (gap 15 < 30); ts=90 closes
+    # it and opens session B (withheld); user 2 ts=100 closes their first
+    df2 = spark.createDataFrame(
+        [mk(4, 1, 25), mk(5, 1, 90), mk(6, 2, 100)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    df2.coalesce(1).write.mode("append").parquet(src)
+
+    agg = sessionize_stream(
+        spark, src, schema=df1.schema, max_files_per_trigger=1
+    )
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("b2t_ssess_test").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    got = {
+        (r["user_id"], r["session_start"].minute, r["session_end"].minute, r["n_events"])
+        for r in spark.table("b2t_ssess_test").collect()
+    }
+    assert got == {
+        (1, 0, 25, 3),   # session A stitched across batches: 0,10,25
+        (2, 5, 5, 1),    # user 2's first session closed by ts=100
+    }, got

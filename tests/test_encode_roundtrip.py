@@ -70,3 +70,43 @@ def test_plan_override(spark, transcripts):
         for r in blocks.select("column", "codec").distinct().collect()
     }
     assert got["role"] == "dict" and got["text"] == "plain"
+
+
+def test_roundtrip_edge_values(spark, tmp_path):
+    """Adversarial value shapes through the FULL job: all-null column,
+    empty strings, unicode (emoji, CJK, RTL, NUL-adjacent), zero-length
+    binary-ish text, single-row conversations, and a 1000-turn hot conv."""
+    import pandas as pd
+
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    rows = []
+    texts = ["", " ", "héllo wörld", "日本語テキスト", "مرحبا", "🎉🎊" * 50,
+             "a\x01b", "x" * 10_000, "newline\nand\ttab"]
+    for c in range(40):
+        conv = f"conv-{c:04d}"
+        n = 1000 if c == 0 else (1 if c % 3 == 0 else 4)
+        for t in range(n):
+            rows.append({
+                "pt": f"pt-{c % 3}",
+                "conv_id": conv,
+                "turn_idx": t,
+                "role": None if c % 5 == 0 else ["user", "assistant"][t % 2],
+                "text": texts[(c + t) % len(texts)],
+                "tool": None,  # entirely-null column
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=c * 1000 + t),
+            })
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(
+        pdf,
+        "pt string, conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    out = str(tmp_path / "edge")
+    summary = encode_job(spark, df, out, run_id="edge", target_group_rows=512)
+    assert summary["groups_failed"] == 0
+    dec = decode_job(spark, out).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = pdf.sort_values(key, ignore_index=True)[sorted(pdf.columns)]
+    b = dec.sort_values(key, ignore_index=True)[sorted(dec.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -8,9 +8,10 @@ benchmark, and print ONE JSON line:
 
 --encode-only N_CONV : run only the synthetic-transcript encode benchmark and
     print its JSON (used by --scaling subprocesses).
---scaling : run the encode benchmark at two parallelism levels (local[8] and
-    local[32]) in separate processes and append the results + scaling
-    efficiency to BENCH/BASELINE.md (the sandbox proxy for N vs 4N executors).
+--scaling : run the encode benchmark at two parallelism levels (default
+    local[2] vs local[8]; B2T_SCALING_CPUS=1,4 for the steal-free pair) in
+    separate pinned processes and write results + scaling efficiency to
+    BENCH/BASELINE.md (the sandbox proxy for N vs 4N executors).
 """
 
 from __future__ import annotations
@@ -190,10 +191,11 @@ def main() -> None:
 def run_scaling() -> None:
     """Encode benchmark at two parallelism levels -> BENCH/BASELINE.md.
 
-    Protocol: alternate local[8]/local[32] runs (2 samples each) with a
-    settle pause between JVMs and keep the best sample per level — single
-    runs on this sandbox vary ~2x with post-JVM page-cache/compaction state.
-    The group layout is pinned so both levels encode identical work units.
+    Protocol: alternate lo/hi runs (B2T_SCALING_SAMPLES each, default 3)
+    with a settle pause between JVMs and keep the best sample per level —
+    single runs on this sandbox vary ~2x with post-JVM page-cache/steal
+    state.  The group layout is pinned so both levels encode identical
+    work units; sessions are warmed before the timed window.
     """
     n_conv = int(os.environ.get("B2T_SCALING_CONV", "500000"))
     lo, hi = (

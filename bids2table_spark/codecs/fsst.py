@@ -29,7 +29,7 @@ from .base import DTYPE_BIN, DTYPE_STR, buf_to_strings, pack_sections, split_sec
 ESCAPE = 255
 MAX_SYMBOLS = 255  # codes 0..254
 MAX_LEN = 8
-SAMPLE_BYTES = 1 << 16
+SAMPLE_BYTES = 1 << 17
 
 
 def _windows_u64(buf: np.ndarray, L: int) -> np.ndarray:
@@ -43,7 +43,7 @@ def _windows_u64(buf: np.ndarray, L: int) -> np.ndarray:
     return w
 
 
-def build_table(buf: np.ndarray, max_symbols: int = MAX_SYMBOLS, iters: int = 3) -> list[bytes]:
+def build_table(buf: np.ndarray, max_symbols: int = MAX_SYMBOLS, iters: int = 6) -> list[bytes]:
     """Construct the symbol table: one-shot gain ranking over a sample, then
     ``iters-1`` refinement passes (the paper's iterative construction):
     compress the sample with the current table, measure *realized* per-code

@@ -183,3 +183,20 @@ def decode_i64(buf: bytes) -> np.ndarray:
     (bias,) = struct.unpack_from("<q", buf, 0)
     rel = decode_u64(buf[8:])
     return (rel + np.int64(bias).view(_U64)).view(np.int64)
+
+
+def patched_cost(vals: np.ndarray, miniblock: int = MINIBLOCK) -> float:
+    """Estimated payload bytes of :func:`encode_u64` for ``vals`` — the
+    per-miniblock optimal patched width + exception cost + headers.  Used
+    by the codec cost model so FOR/delta estimates account for patching
+    (a global-max-width estimate makes a column with rare outlier deltas —
+    e.g. conversation-boundary turn_idx resets — look far bigger than the
+    patched kernel actually produces)."""
+    vals = np.ascontiguousarray(vals, dtype=_U64)
+    n = len(vals)
+    total = 0.0
+    for m in range(0, n, miniblock):
+        chunk = vals[m : m + miniblock]
+        w, exc = best_width(chunk - chunk.min())
+        total += len(chunk) * w / 8 + len(exc) * 10 + 11
+    return total

@@ -24,23 +24,33 @@ from .codecs.bitpack import bit_width, zigzag
 
 
 def _int_stats(vals: np.ndarray) -> dict:
+    from .codecs.bitpack import patched_cost
+
     n = len(vals)
     if n == 0:
         return {"n": 0}
     vmin, vmax = int(vals.min()), int(vals.max())
     w_for = bit_width(vmax - vmin)  # python ints: exact for any int64 range
+    # patch-aware: rare outliers (conversation-boundary deltas, stray ids)
+    # become exceptions in the kernels, so the estimates must not let a
+    # single wide value inflate the whole column's width
+    # same rebase encode_i64 performs (wraparound-safe signed distance)
+    for_pb = patched_cost(
+        vals.view(np.uint64) - np.int64(vmin).view(np.uint64) if n else vals
+    )
     if n > 1:
         d = (vals[1:].view(np.uint64) - vals[:-1].view(np.uint64)).view(np.int64)
         g = 0
         if not (d == np.iinfo(np.int64).min).any():
             g = int(np.gcd.reduce(np.abs(d), initial=0))
         dd = d // g if g > 1 else d
-        w_delta = bit_width(int(zigzag(dd).max()))
+        delta_pb = patched_cost(zigzag(dd))
         runs = int((vals[1:] != vals[:-1]).sum()) + 1
     else:
-        w_delta, runs = 0, 1
+        delta_pb, runs = 0.0, 1
     ndv = len(np.unique(vals)) if n <= 65536 else min(n, len(np.unique(vals[:: max(1, n // 65536)])) * 4)
-    return {"n": n, "w_for": w_for, "w_delta": w_delta, "runs": runs, "ndv": ndv}
+    return {"n": n, "w_for": w_for, "for_pb": for_pb, "delta_pb": delta_pb,
+            "runs": runs, "ndv": ndv}
 
 
 def estimate_int_sizes(vals: np.ndarray) -> dict[str, float]:
@@ -51,8 +61,8 @@ def estimate_int_sizes(vals: np.ndarray) -> dict[str, float]:
     w_runs = bit_width(n)
     out = {
         "plain": 8.0 * n,
-        "forbp": s["w_for"] * n / 8 + 32,
-        "delta": s["w_delta"] * (n - 1) / 8 + 48,
+        "forbp": s["for_pb"] + 32,
+        "delta": s["delta_pb"] + 48,
         "rle": s["runs"] * (s["w_for"] + w_runs) / 8 + 64,
         "dict": s["ndv"] * 8 + bit_width(max(s["ndv"] - 1, 0)) * n / 8 + 64,
     }

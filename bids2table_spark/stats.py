@@ -31,12 +31,14 @@ from .codecs import fsst as fsst_mod
 PARTIAL_DDL = (
     "pt string, salt int, column string, phys string, n long, ndv long, "
     "runs long, vmin long, vmax long, w_delta int, total_bytes long, "
-    "hist binary, fsst_sample_ratio double, alp_hit double, w_alp int"
+    "hist binary, fsst_sample_ratio double, alp_hit double, w_alp int, "
+    "for_pbytes double, delta_pbytes double"
 )
 
 STATS_COLUMNS = [
     "pt", "column", "phys", "n", "ndv", "runs", "w_for", "w_delta",
     "total_bytes", "entropy", "fsst_sample_ratio", "alp_hit", "w_alp",
+    "for_pbytes", "delta_pbytes",
 ]
 
 _FSST_SAMPLE_BYTES = 1 << 17

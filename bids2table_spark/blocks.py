@@ -92,19 +92,40 @@ BLOCKS_SCHEMA_DDL = (
 # false and silently drop matching blocks).
 
 
-def zone_key_value(v) -> str | None:
+def zone_key_value(v, phys: str | None = None) -> str | None:
     """Order-preserving string image of a sort-key value.
 
-    Dispatches on the value's python type (the same values appear on both
-    sides: ``pa.compute.min_max(...).as_py()`` at encode and the caller's
-    raw ``key_range`` bounds at decode), so encode and lookup agree without
-    a metadata channel.  Integers/timestamps/dates map to zero-padded
-    offset-binary decimal, floats to sign-flipped IEEE bits in hex, bytes to
-    hex — all fixed-width, so string order == native order."""
+    When ``phys`` (the key column's physical type) is given, the value is
+    coerced to that type FIRST — this is load-bearing on the pandas encode
+    path, where an int64 sort key with NULLs arrives as float64: without
+    coercion encode would store the 16-hex float image while decode (given
+    native-int ``key_range`` bounds) images 20-digit decimal, and the
+    lexicographic compare between the two is meaningless (silently prunes
+    matching blocks).  Without ``phys`` it dispatches on the runtime python
+    type (decode's ``key_range`` bounds arrive with the key's native type).
+    Integers/timestamps/dates map to zero-padded offset-binary decimal,
+    floats to sign-flipped IEEE bits in hex, bytes to hex — all
+    fixed-width, so string order == native order."""
     import datetime
 
-    if v is None:
+    if v is None or v != v:  # NaN/NaT guard (pandas nulls on promoted dtypes)
         return None
+    if phys is not None:
+        if phys in ("int", "long"):
+            # float64-from-nullable-int is exact below 2**53; sort keys
+            # (conv hashes are strings, turn indexes are small) stay inside
+            v = int(v)
+        elif phys in ("timestamp", "timestamp_ntz"):
+            v = pd.Timestamp(v)
+        elif phys == "boolean":
+            v = bool(v)
+        elif phys == "double":
+            v = float(v)
+        elif phys == "float":
+            # image at float64 width either way; widen deterministically
+            v = float(np.float32(v))
+        elif phys == "string":
+            v = str(v)
     if isinstance(v, str):
         return v
     if isinstance(v, bytes):
@@ -198,7 +219,10 @@ def _to_kernel(series: pd.Series, phys: str) -> tuple[np.ndarray | pd.Series, np
             return vals[mask], mask
         return v.astype(np.int64)[mask], mask
     if phys == PHYS_DATE:
-        days = pd.to_datetime(series).astype("datetime64[D]").astype(np.int64).to_numpy()
+        # numpy handles the ns->D downcast; pandas 2.x Series.astype rejects
+        # non-{s,ms,us,ns} datetime units
+        v = pd.to_datetime(series).to_numpy(dtype="datetime64[ns]")
+        days = v.astype("datetime64[D]").astype(np.int64)
         return days[mask], mask
     if phys == PHYS_DOUBLE:
         return series.to_numpy(dtype=np.float64)[mask], mask

@@ -66,6 +66,11 @@ def make_encode_fn(
     choice per block (selector.choose_codec_local).
     """
 
+    # zone images must be keyed on the column's PHYS type, not the runtime
+    # python type: pandas promotes nullable int64 keys to float64, and the
+    # float image would not compare against decode's native-int bounds
+    key_phys = dict(columns).get(sort_cols[0])
+
     def encode_group(key, pdf):
         from .blocks import pin_worker_threads
 
@@ -78,8 +83,8 @@ def make_encode_fn(
             for b, lo in enumerate(range(0, n, block_rows)):
                 chunk = pdf.iloc[lo : lo + block_rows]
                 keys = chunk[sort_cols[0]].dropna()
-                zmin = zone_key_value(keys.iloc[0]) if len(keys) else None
-                zmax = zone_key_value(keys.iloc[-1]) if len(keys) else None
+                zmin = zone_key_value(keys.iloc[0], key_phys) if len(keys) else None
+                zmax = zone_key_value(keys.iloc[-1], key_phys) if len(keys) else None
                 for ci, (col, phys) in enumerate(columns):
                     codec = None
                     if plan:
@@ -200,6 +205,7 @@ def make_encode_fn_arrow(
     pa.Table, is sorted and sliced zero-copy, and string columns reach the
     kernels as Arrow arrays — no pandas object boxing on the hot path."""
     schema = pa.schema([(n, getattr(pa, t)()) for n, t in _BLOCKS_ARROW_FIELDS])
+    key_phys = dict(columns).get(sort_cols[0])
 
     def encode_group(key, tbl):  # no hints: pyspark infers eval type
         from .blocks import encode_block_arrow, pin_worker_threads
@@ -218,8 +224,8 @@ def make_encode_fn_arrow(
                 import pyarrow.compute as pc
 
                 mm = pc.min_max(chunk.column(sort_cols[0]))
-                zmin = zone_key_value(mm["min"].as_py())
-                zmax = zone_key_value(mm["max"].as_py())
+                zmin = zone_key_value(mm["min"].as_py(), key_phys)
+                zmax = zone_key_value(mm["max"].as_py(), key_phys)
                 for ci, (col, phys) in enumerate(columns):
                     codec = None
                     if plan:

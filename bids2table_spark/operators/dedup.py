@@ -183,12 +183,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard over LSH candidates (verify stage of the
     classic minhash pipeline), computed on int64 shingle hashes — candidate
     pairs shuffle ~8 bytes/shingle, never re-tokenized strings.  Jaccard
-    rounded to 4 dp for oracle parity."""
-    cands = minhash_lsh_pairs(docs, k=k, bands=bands)
+    rounded to 4 dp for oracle parity.
+
+    The LSH bucket cap is OPT-IN here (``max_bucket=None``): star-pair
+    candidates are fine for union-find dedup (connectivity survives) but
+    wrong for this verify stage — a true near-dup pair inside a wide
+    bucket where neither doc is the bucket min would be silently dropped.
+    Pass a cap explicitly only when a templated corpus makes the quadratic
+    term unaffordable AND star-connected recall is acceptable."""
+    cands = minhash_lsh_pairs(docs, k=k, bands=bands, max_bucket=max_bucket)
     P = docs.sparkSession.sparkContext.defaultParallelism
     # repartition before tokenizing: the join shuffles on doc_a/doc_b anyway,
     # this just keeps the interpreted shingle lambdas off a single scan task
@@ -243,7 +251,17 @@ def simhash64(docs: DataFrame) -> DataFrame:
         sim = sim + F.when(F.col(f"c{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return votes.select("doc_id", sim.alias("simhash"))
+    # every input doc yields a row: NULL/empty texts produce no exploded
+    # tokens (no votes group), so left-join the votes back to the distinct
+    # doc set — their bit votes read NULL -> every when() falls through ->
+    # simhash 0 (the explode-only version silently dropped them, changing
+    # output cardinality for corpora with null texts)
+    return (
+        docs.select("doc_id")
+        .distinct()
+        .join(votes, "doc_id", "left")
+        .select("doc_id", sim.alias("simhash"))
+    )
 
 
 def srp_buckets(vcol, planes: int = 8, tables: int = 4):

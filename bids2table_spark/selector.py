@@ -222,16 +222,30 @@ def build_plan(stats_pdf: pd.DataFrame) -> dict[str, str]:
     ``stats_pdf`` columns: pt, column, phys, n, ndv, runs, w_for, w_delta,
     total_bytes, entropy, fsst_sample_ratio (see stats.py).
     """
+    def _num(r, key) -> float:
+        v = r.get(key)
+        try:
+            v = float(v)
+        except (TypeError, ValueError):
+            return 0.0
+        return v if np.isfinite(v) else 0.0
+
     plan: dict[str, str] = {}
     for _, r in stats_pdf.iterrows():
         n = max(int(r["n"]), 1)
         phys = r["phys"]
         if phys in ("int", "long", "timestamp", "timestamp_ntz", "boolean", "date"):
             w_runs = bit_width(n)
+            # patch-aware byte sums from the stats pass (stats._col_partial
+            # via codecs.bitpack.patched_cost) keep the global plan's
+            # FOR/delta ranking consistent with choose_codec_local on
+            # outlier-bearing columns; older stats frames without the
+            # columns fall back to the global-width estimate
+            for_pb, delta_pb = _num(r, "for_pbytes"), _num(r, "delta_pbytes")
             est = {
                 "plain": 8.0 * n,
-                "forbp": r["w_for"] * n / 8 + 32,
-                "delta": r["w_delta"] * n / 8 + 48,
+                "forbp": (for_pb or r["w_for"] * n / 8) + 32,
+                "delta": (delta_pb or r["w_delta"] * n / 8) + 48,
                 "rle": r["runs"] * (r["w_for"] + w_runs) / 8 + 64,
             }
         elif phys in ("string", "binary"):

@@ -25,7 +25,7 @@ import pandas as pd
 
 from .blocks import spark_field_phys
 from .codecs.base import strings_to_buf
-from .codecs.bitpack import bit_width, zigzag
+from .codecs.bitpack import bit_width, patched_cost, zigzag
 from .codecs import fsst as fsst_mod
 
 PARTIAL_DDL = (
@@ -58,7 +58,7 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
         "pt": pt, "salt": salt, "column": name, "phys": phys, "n": len(series),
         "ndv": 0, "runs": 0, "vmin": 0, "vmax": 0, "w_delta": 0,
         "total_bytes": 0, "hist": b"", "fsst_sample_ratio": 0.0,
-        "alp_hit": 0.0, "w_alp": 0,
+        "alp_hit": 0.0, "w_alp": 0, "for_pbytes": 0.0, "delta_pbytes": 0.0,
     }
     valid = series.dropna()
     if len(valid) == 0:
@@ -70,13 +70,22 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
         vals = np.asarray(vals, dtype=np.int64)
         out["ndv"] = int(pd.unique(vals).size)
         out["vmin"], out["vmax"] = int(vals.min()), int(vals.max())
+        # patch-aware byte estimates (mergeable: they are per-chunk payload
+        # byte sums, summed in merged_stats) — the chunk-local rebase matches
+        # what the per-block kernels actually see, so rare outliers
+        # (conversation-boundary resets) cost exceptions, not global width
+        out["for_pbytes"] = patched_cost(
+            vals.view(np.uint64) - np.int64(out["vmin"]).view(np.uint64)
+        )
         if len(vals) > 1:
             d = (vals[1:].view(np.uint64) - vals[:-1].view(np.uint64)).view(np.int64)
             g = 0
             if not (d == np.iinfo(np.int64).min).any():
                 g = int(np.gcd.reduce(np.abs(d), initial=0))
             dd = d // g if g > 1 else d
-            out["w_delta"] = bit_width(int(zigzag(dd).max()))
+            zz = zigzag(dd)
+            out["w_delta"] = bit_width(int(zz.max()))
+            out["delta_pbytes"] = patched_cost(zz)
             out["runs"] = int((vals[1:] != vals[:-1]).sum()) + 1
         else:
             out["runs"] = 1
@@ -274,6 +283,8 @@ def merged_stats(
                 "fsst_sample_ratio": w_fsst,
                 "alp_hit": w_alp_hit,
                 "w_alp": int(g["w_alp"].max()),
+                "for_pbytes": float(g["for_pbytes"].sum()),
+                "delta_pbytes": float(g["delta_pbytes"].sum()),
             }
         )
     return pd.DataFrame(rows, columns=STATS_COLUMNS)

@@ -110,3 +110,59 @@ def test_roundtrip_edge_values(spark, tmp_path):
     a = pdf.sort_values(key, ignore_index=True)[sorted(pdf.columns)]
     b = dec.sort_values(key, ignore_index=True)[sorted(dec.columns)]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_zone_key_phys_coercion():
+    """Zone images must agree between encode (pandas may promote a nullable
+    int64 key to float64) and decode (native-typed key_range bounds)."""
+    import numpy as np
+
+    from bids2table_spark.blocks import zone_key_value
+
+    # float64-from-nullable-int at encode == native int at decode
+    assert zone_key_value(np.float64(7.0), "long") == zone_key_value(7)
+    assert zone_key_value(np.float64(7.0), "int") == zone_key_value(7)
+    # ordering still holds through the coerced image
+    assert zone_key_value(np.float64(9.0), "long") < zone_key_value(11)
+    # NaN from an all-null chunk -> None, not a garbage image
+    assert zone_key_value(float("nan"), "long") is None
+    # timestamps: epoch-float ns promoted values image like native Timestamps
+    t = pd.Timestamp("2024-03-01 12:00:00")
+    assert zone_key_value(t, "timestamp") == zone_key_value(t)
+    # no-phys dispatch (decode side) unchanged
+    assert zone_key_value(5) == f"{5 + (1 << 63):020d}"
+
+
+def test_zone_pruned_lookup_on_nullable_int_key(spark, tmp_path):
+    """End-to-end: int sort key WITH NULLS (the float64-promotion trap) —
+    a key_range decode must still return every matching row."""
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    rows = []
+    for c in range(40):
+        for t in range(30):
+            rows.append({
+                "pt": "p0",
+                "conv_id": f"c{c:03d}",
+                "turn_idx": None if (c == 3 and t == 0) else t,
+                "role": "user",
+                "text": f"msg {c}/{t}",
+                "tool": None,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=c * 100 + t),
+            })
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(
+        pdf,
+        "pt string, conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    out = str(tmp_path / "zk")
+    summary = encode_job(
+        spark, df, out, run_id="zk", target_group_rows=256,
+        key_cols=("turn_idx", "conv_id"), conv_col="conv_id",
+    )
+    assert summary["groups_failed"] == 0
+    dec = decode_job(spark, out, key_range=(10, 12)).toPandas()
+    got = dec[dec["turn_idx"].between(10, 12)]
+    # every (conv, turn) in 10..12 must survive pruning: 40 convs x 3 turns
+    assert len(got) == 40 * 3

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from bids2table_spark.operators.dedup import exact_dedup, minhash_signatures, simhash64
 from bids2table_spark.operators.merge import conform_schema, dedup_keep_last, key_merge, resume_filter
@@ -232,3 +233,91 @@ def test_ivf_topk_recall_vs_exact(spark):
     c1 = ivf_build(emb)
     c2 = ivf_build(emb)
     assert np.array_equal(np.array(c1), np.array(c2))
+
+
+def test_simhash_null_text_docs_survive(spark):
+    """Docs with NULL/empty text must still emit a row (simhash 0), not
+    silently vanish from the output (cardinality contract)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, ""), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert set(h) == {1, 2, 3, 4}
+    assert h[2] == 0  # null text -> no tokens -> all-zero hash
+
+
+def test_ngram_jaccard_uncapped_by_default(spark):
+    """The LSH bucket cap must be opt-in for the exact-Jaccard verify stage:
+    near-dup pairs where NEITHER doc is the bucket min must survive under
+    default arguments (star-pair candidates would drop them)."""
+    from bids2table_spark.operators.dedup import ngram_jaccard_pairs
+
+    text = "the quick brown fox jumps over the lazy dog once more " * 2
+    df = spark.createDataFrame(
+        [(i, text) for i in range(8)], "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(df).collect()}
+    # all 8 docs identical -> all 28 pairs, including e.g. (5, 6)
+    assert len(pairs) == 28 and (5, 6) in pairs
+    # explicit cap switches to star candidates: only pairs through doc 0
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, max_bucket=3).collect()
+    }
+    assert capped == {(0, b) for b in range(1, 8)}
+
+
+def test_ivf_build_sparse_ids(spark):
+    """Seeding must not assume dense vec_ids starting at 0."""
+    import numpy as np
+
+    from bids2table_spark.operators.similarity import ivf_build, ivf_topk
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(1_000_000 + 7 * i), rng.normal(size=8).astype(float).tolist())
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_build(emb, n_centroids=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+    with pytest.raises(ValueError, match="n_centroids"):
+        ivf_build(emb, n_centroids=100, iters=1)
+
+
+def test_ivf_arrow_assignment_matches_literal(spark):
+    """The Arrow matmul path (scale path past IVF_ARROW_CELLS) must assign
+    every vector to the same centroid as the literal-expression path."""
+    import numpy as np
+
+    from bids2table_spark.operators import similarity as S
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=12).astype(float).tolist()) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = emb.select("vec_id", S._as_double(F.col("embedding")).alias("v"))
+    cents = S.ivf_build(emb, n_centroids=6, iters=2)
+    lit = {r["vec_id"]: r["cid"] for r in
+           base.withColumn("cid", S._assign_cid(F.col("v"), cents)).collect()}
+    arrow = {r["vec_id"]: r["cid"] for r in
+             base.withColumn("cid", S.make_assign_udf(cents)(F.col("v"))).collect()}
+    assert lit == arrow
+    # probe UDF agrees with the literal probe ordering
+    q = spark.createDataFrame(rows[:5], "query_id long, qv array<double>")
+    probe = {r["query_id"]: list(r["p"]) for r in
+             q.select("query_id", S.make_probe_udf(cents, 3)(F.col("qv")).alias("p")).collect()}
+    import pyspark.sql.functions as FF
+    ps = FF.array(*[
+        FF.struct(S._dist2(FF.col("qv"), S._cent_lit(c)).alias("d"), FF.lit(j).alias("cid"))
+        for j, c in enumerate(cents)
+    ])
+    lit_probe = {r["query_id"]: list(r["p"]) for r in q.select(
+        "query_id",
+        FF.transform(FF.slice(FF.array_sort(ps), 1, 3), lambda s: s["cid"]).alias("p"),
+    ).collect()}
+    assert probe == lit_probe
+    # ivf_topk still returns k ranked hits per query through assign_cells
+    top = S.ivf_topk(emb, q, k=3, n_centroids=6, iters=2, n_probe=3)
+    got = top.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in got)

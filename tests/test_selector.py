@@ -84,3 +84,56 @@ def test_stats_pass_is_salted_and_mergeable(spark):
 
     assert build_plan(merged) == build_plan(one)
     df.unpersist()
+
+
+def test_partial_keys_match_ddl():
+    """Regression guard for round 3's ship-stopper: every field declared in
+    PARTIAL_DDL must be emitted by _col_partial for EVERY phys branch
+    (including the empty-series early return), and the merged row shape must
+    cover STATS_COLUMNS.  Pure pandas — runs in milliseconds, no Spark."""
+    from bids2table_spark.stats import _STATS_PHYS, PARTIAL_DDL, STATS_COLUMNS, _col_partial
+
+    ddl_fields = {f.strip().split(" ")[0] for f in PARTIAL_DDL.split(",")}
+    samples = {
+        "int": pd.Series([1, 2, 3], dtype="int32"),
+        "long": pd.Series([10, 20, 20], dtype="int64"),
+        "timestamp": pd.Series(pd.to_datetime([1e9, 2e9], unit="s")),
+        "timestamp_ntz": pd.Series(pd.to_datetime([1e9, 2e9], unit="s")),
+        "boolean": pd.Series([True, False, True]),
+        "date": pd.Series(pd.to_datetime(["2024-01-01", "2024-01-02"]).date),
+        "string": pd.Series(["aaa", "bbb", "aaa"]),
+        "binary": pd.Series([b"xy", b"zw"]),
+        "double": pd.Series([1.5, 2.5], dtype="float64"),
+        "float": pd.Series([1.5, 2.5], dtype="float32"),
+    }
+    assert set(samples) == set(_STATS_PHYS)
+    for phys, series in samples.items():
+        out = _col_partial("p", 0, "c", phys, series)
+        assert set(out) == ddl_fields, f"phys={phys}: keys != PARTIAL_DDL"
+        empty = _col_partial("p", 0, "c", phys, series.iloc[:0])
+        assert set(empty) == ddl_fields, f"phys={phys}: empty-series keys != PARTIAL_DDL"
+    # STATS_COLUMNS must be derivable: shared names + the merge-only extras
+    assert set(STATS_COLUMNS) - {"entropy", "w_for"} <= ddl_fields
+
+
+def test_patched_costs_flow_into_plan():
+    """An int column with rare huge outliers: patched FOR/delta byte sums
+    must make the global plan prefer forbp/delta over plain, matching the
+    local selector on the same values."""
+    from bids2table_spark.selector import build_plan
+    from bids2table_spark.stats import STATS_COLUMNS, _col_partial
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 100, 5000)
+    vals[::512] = 2**60  # outliers: global width 61 bits, patched ~7 bits
+    p = _col_partial("pt0", 0, "x", "long", pd.Series(vals))
+    assert p["for_pbytes"] > 0 and p["delta_pbytes"] > 0
+    # patched estimate is far below the global-width estimate
+    assert p["for_pbytes"] < 61 * len(vals) / 8 / 4
+    row = {c: p.get(c, 0) for c in STATS_COLUMNS}
+    row.update(pt="pt0", column="x", entropy=0.0,
+               w_for=61, ndv=101, n=len(vals))
+    plan = build_plan(pd.DataFrame([row], columns=STATS_COLUMNS))
+    assert plan["pt0/x"] in ("forbp", "delta")
+    local = choose_codec_local(pd.Series(vals), "long")
+    assert local in ("forbp", "delta")

@@ -78,21 +78,35 @@ def pack_ndarray(col, ndim: int = 2) -> Column:
 
 
 def unpack_ndarray(col, ndim: int = 2) -> Column:
-    """Inverse of :func:`pack_ndarray` for ndim=2: ``struct{data, shape}`` ->
-    array<array<T>> by slicing data into shape[1]-sized rows
-    (``bids2table/extensions/ndarray.py:63-74``)."""
-    if ndim != 2:
-        raise NotImplementedError("unpack_ndarray currently supports ndim=2")
+    """Inverse of :func:`pack_ndarray` for any rank: ``struct{data, shape}``
+    -> N nested arrays by recursive strided slicing (the reference ndarray
+    is arbitrary-rank, ``bids2table/extensions/ndarray.py:50-74``).
+
+    Level ``k`` rebuilds ``shape[k]`` blocks of stride
+    ``prod(shape[k+1:])`` from the flat data.  ``sequence(0, d-1)`` counts
+    DOWN when ``d = 0``, so every level runs ``sequence`` over
+    ``max(d, 1)`` and then ``slice(_, 1, d)`` — for an empty dim the one
+    speculative body evaluation slices past the (empty) data, which
+    returns ``[]`` of the right type, and the outer slice drops it."""
+    if ndim < 1:
+        raise ValueError("unpack_ndarray: ndim must be >= 1")
     c = col if isinstance(col, Column) else F.col(col)
     data = c.getField("data")
-    rows = F.element_at(c.getField("shape"), 1)
-    row_len = F.element_at(c.getField("shape"), 2)
-    rebuilt = F.transform(
-        F.sequence(F.lit(0), rows.cast("int") - 1),
-        lambda i: F.slice(data, i * row_len.cast("int") + 1, row_len.cast("int")),
-    )
-    # sequence(0, -1) counts DOWN in Spark; guard the empty outer level
-    # (slice(array(data), 1, 0) = [] of the right array<array<T>> type)
-    return F.when(c.isNotNull() & (rows > 0), rebuilt).otherwise(
-        F.when(c.isNotNull(), F.slice(F.array(data), 1, 0))
-    )
+    shape = c.getField("shape")
+    dims = [F.element_at(shape, i + 1).cast("int") for i in range(ndim)]
+
+    def build(level: int, offset):
+        if level == ndim - 1:
+            return F.slice(data, offset + 1, dims[level])
+        stride = dims[level + 1]
+        for d in dims[level + 2 :]:
+            stride = stride * d
+        inner = F.transform(
+            F.sequence(F.lit(0), F.greatest(dims[level], F.lit(1)) - 1),
+            lambda i: build(level + 1, offset + i * stride),
+        )
+        return F.slice(inner, 1, dims[level])
+
+    if ndim == 1:
+        return F.when(c.isNotNull(), F.slice(data, 1, dims[0]))
+    return F.when(c.isNotNull(), build(0, F.lit(0)))

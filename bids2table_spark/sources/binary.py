@@ -65,10 +65,34 @@ def write_media_files(root: str, n: int = 64, seed: int = 42) -> str:
 
 
 def path_list_source(spark: SparkSession, list_path: str) -> DataFrame:
-    """S3 path-list / work-list source: one path per line (``.txt``), blank
-    lines and ``#`` comments skipped (reference ``_load_paths``,
-    ``bids2table/engine.py:229-282``).  The list itself is read distributed
-    (``spark.read.text`` splits large lists across tasks)."""
+    """S3 path-list / work-list source (reference ``_load_paths``,
+    ``bids2table/engine.py:229-282``, which accepts both text lists and
+    ``.npy`` path arrays):
+
+    * ``.txt`` (default): one path per line, blank lines and ``#`` comments
+      skipped; read distributed (``spark.read.text`` splits large lists
+      across tasks).
+    * ``.npy``: a numpy array of path strings, loaded on the DRIVER
+      (``allow_pickle=False`` — a work list is metadata, never code) and
+      planned as a JVM LocalTableScan; .npy is a single local file, so a
+      distributed read buys nothing and the list is tiny next to the
+      payload bytes it names."""
+    if list_path.endswith(".npy"):
+        import numpy as np
+
+        from ..session import local_df
+
+        arr = np.load(list_path, allow_pickle=False)
+        if arr.dtype.kind not in ("U", "S"):
+            raise TypeError(
+                f"path_list_source: .npy work list must hold strings, got dtype {arr.dtype}"
+            )
+        paths = [
+            (p.strip(),)
+            for p in (x.decode() if isinstance(x, bytes) else str(x) for x in arr.ravel())
+            if p.strip() and not p.strip().startswith("#")
+        ]
+        return local_df(spark, paths, "path string")
     p = F.trim(F.col("value"))
     return (
         spark.read.text(list_path)

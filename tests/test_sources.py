@@ -164,3 +164,22 @@ def test_binaries_from_path_list_loads_only_listed(spark, tmp_path):
     empty = tmp_path / "empty.txt"
     empty.write_text("# nothing\n")
     assert binaries_from_path_list(spark, root, path_list_source(spark, str(empty))).count() == 0
+
+
+def test_path_list_source_npy(spark, tmp_path):
+    """.npy work lists (numpy array of path strings) load like .txt lists."""
+    import numpy as np
+
+    from bids2table_spark.sources.binary import path_list_source
+
+    lst = tmp_path / "work.npy"
+    np.save(lst, np.array(["/data/a.bin", "/data/b.bin", "  ", "#skip"]))
+    got = sorted(r["path"] for r in path_list_source(spark, str(lst)).collect())
+    assert got == ["/data/a.bin", "/data/b.bin"]
+
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.arange(4))
+    import pytest
+
+    with pytest.raises(TypeError, match="strings"):
+        path_list_source(spark, str(bad))

@@ -376,3 +376,44 @@ def test_nested_encode_job_and_leaf_projection(spark, tmp_path):
         for i, (x, y) in enumerate(zip(want[c], got[c])):
             assert _py_eq(x, y), f"{c}[{i}]: {x!r} != {y!r}"
     t.unpersist()
+
+
+def test_ndarray_rank3_and_rank1_inverse(spark):
+    """pack/unpack must invert at arbitrary rank (reference ndarray is
+    rank-N), including empty dims at any level."""
+    from pyspark.sql import functions as F
+
+    from bids2table_spark.functions import pack_ndarray, unpack_ndarray
+
+    cube = [[[1.0, 2.0], [3.0, 4.0]], [[5.0, 6.0], [7.0, 8.0]],
+            [[9.0, 10.0], [11.0, 12.0]]]  # 3x2x2
+    df3 = spark.createDataFrame(
+        [(1, cube), (2, [[[42.0]]]), (3, None), (4, []), (5, [[], []])],
+        "id int, m array<array<array<double>>>",
+    )
+    out = (
+        df3.withColumn("packed", pack_ndarray(F.col("m"), ndim=3))
+        .withColumn("back", unpack_ndarray(F.col("packed"), ndim=3))
+        .select("id", "m", "packed.shape", "back")
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0]["shape"] == [3, 2, 2] and out[0]["back"] == out[0]["m"]
+    assert out[1]["shape"] == [1, 1, 1] and out[1]["back"] == out[1]["m"]
+    assert out[2]["back"] is None
+    assert list(out[3]["back"]) == []
+    # 2x0x? : middle dim empty -> two empty inner lists reconstruct
+    assert [list(x) for x in out[4]["back"]] == [[], []]
+
+    df1 = spark.createDataFrame(
+        [(1, [1.5, 2.5, 3.5]), (2, []), (3, None)], "id int, v array<double>"
+    )
+    o1 = (
+        df1.withColumn("packed", pack_ndarray(F.col("v"), ndim=1))
+        .withColumn("back", unpack_ndarray(F.col("packed"), ndim=1))
+        .orderBy("id")
+        .collect()
+    )
+    assert o1[0]["back"] == [1.5, 2.5, 3.5]
+    assert list(o1[1]["back"]) == []
+    assert o1[2]["back"] is None

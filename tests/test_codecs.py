@@ -118,3 +118,67 @@ def test_fsst_multibyte_utf8_straddle():
 def test_zigzag_extremes():
     v = np.array([0, -1, 1, np.iinfo(np.int64).min, np.iinfo(np.int64).max], dtype=np.int64)
     assert np.array_equal(bp.unzigzag(bp.zigzag(v)), v)
+
+
+# ------------------------------------------------- property-based roundtrips
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_I64 = np.iinfo(np.int64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=_I64.min, max_value=_I64.max),
+            st.integers(min_value=-100, max_value=100),          # dense small
+            st.integers(min_value=10**17, max_value=10**17 + 50),  # hot frame
+        ),
+        min_size=0,
+        max_size=500,
+    )
+)
+def test_int_codecs_roundtrip_hypothesis(xs):
+    """Every registered i64 codec must bit-roundtrip ARBITRARY int64 data —
+    including extremes, mixed magnitudes, and adversarial delta patterns."""
+    vals = np.array(xs, dtype=np.int64)
+    for name in codecs_for_dtype("i64"):
+        codec = CODECS[name]
+        meta, payload = codec.encode(vals, "i64")
+        out = np.asarray(codec.decode(meta, payload, len(vals), "i64"))
+        assert np.array_equal(vals, out.astype(np.int64) if len(out) else vals), name
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(max_size=40),                       # arbitrary unicode
+            st.sampled_from(["user", "assistant", ""]),  # low-NDV runs
+            st.text(alphabet="ab{}\x00:,", max_size=30),
+        ),
+        min_size=0,
+        max_size=300,
+    )
+)
+def test_str_codecs_roundtrip_hypothesis(xs):
+    for name in codecs_for_dtype("str"):
+        codec = CODECS[name]
+        meta, payload = codec.encode(pd.Series(xs, dtype="object"), "str")
+        out = codec.decode(meta, payload, len(xs), "str")
+        got = out.to_pylist() if hasattr(out, "to_pylist") else list(out)
+        assert got == xs, name
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_fsst_raw_buffer_roundtrip_hypothesis(buf):
+    """FSST table build + compress + decompress on arbitrary byte buffers."""
+    from bids2table_spark.codecs import fsst as fm
+
+    data = np.frombuffer(buf, dtype=np.uint8)
+    table = fm._Table(fm.build_table(data))
+    stream = fm.compress(data, table)
+    out = fm.decompress(np.asarray(stream, dtype=np.uint8), table, len(data))
+    assert bytes(bytearray(out)) == buf

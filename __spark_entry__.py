@@ -683,6 +683,37 @@ def q_decode_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decode_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruned range decode over a NUMERIC sort key WITH NULLS —
+    pins the phys-typed zone-key images end-to-end (round-4 fix for the
+    float64-promoted nullable-int image): encode keyed on a nullable
+    BIGINT, decode with native-int ``key_range`` bounds, exact predicate
+    applied after the block prune."""
+    import shutil
+
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        F.concat(F.lit("pt-"), F.lpad((F.col("user_id") % 4).cast("string"), 4, "0")).alias("pt"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(None))
+        .otherwise(F.col("event_id"))
+        .alias("ekey"),
+        "user_id", "event_type", "value", "ts",
+    )
+    base = _mat_dir(sf_dir, "zone_num")
+    shutil.rmtree(base, ignore_errors=True)
+    encode_job(
+        spark, df, f"{base}/enc", run_id="zonenum",
+        key_cols=("ekey", "user_id"), conv_col="user_id",
+        target_group_rows=65536,
+    )
+    dec = decode_job(spark, f"{base}/enc", key_range=(100, 399))
+    return dec.filter(F.col("ekey").between(100, 399)).select(
+        "pt", "ekey", "user_id", "event_type", "value", "ts"
+    )
+
+
 # ------------------------------------------------------- ingestion loaders
 
 
@@ -1100,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_file_ingest": q_binary_file_ingest,
         "path_list_ingest": q_path_list_ingest,
         "decode_point_lookup": q_decode_point_lookup,
+        "decode_range_numeric": q_decode_range_numeric,
         "csv_ingest": q_csv_ingest,
         "tsv_array_ingest": q_tsv_array_ingest,
         "json_props_parse": q_json_props_parse,
@@ -1381,6 +1413,14 @@ def oracle_sql() -> dict[str, str]:
             WITH tr AS ({_TRANSCRIPTS_ORACLE})
             SELECT conv_id, turn_idx, role, text, tool, ts, pt FROM tr
             WHERE conv_id BETWEEN 'conv-000000000010' AND 'conv-000000000019'
+        """,
+        "decode_range_numeric": """
+            SELECT * FROM (
+              SELECT concat('pt-', lpad((user_id % 4)::VARCHAR, 4, '0')) AS pt,
+                     CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS ekey,
+                     user_id, event_type, value, ts
+              FROM events)
+            WHERE ekey BETWEEN 100 AND 399
         """,
         "decode_projection": f"""
             WITH tr AS ({_TRANSCRIPTS_ORACLE})

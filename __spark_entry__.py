@@ -1014,8 +1014,11 @@ def _ivf_oracle(n_centroids: int = 16, iters: int = 3, n_probe: int = 4, k: int 
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 c0 AS (
-  SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS c
-  FROM v WHERE vec_id < {n_centroids})"""
+  -- seed = first n_centroids vectors in id ORDER with POSITIONAL cids,
+  -- mirroring ivf_build's orderBy/limit seeding (sparse/offset id spaces)
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid,
+         list_transform(v, x -> round(x, 6)) AS c
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {n_centroids}))"""
     for t in range(iters):
         d = dist.format(v="v.v", c="c.c")
         sql += f""",
@@ -1182,10 +1185,25 @@ def _minhash_sig_sql(k: int) -> str:
     )
 
 
-def _lsh_pairs_sql(k: int, bands: int, max_bucket: int = 4096) -> str:
+def _lsh_pairs_sql(k: int, bands: int, max_bucket: int | None = 4096) -> str:
     # mirrors dedup.minhash_lsh_pairs incl. the band-bucket cap: buckets
-    # wider than max_bucket emit star pairs (member, bucket-min) only
+    # wider than max_bucket emit star pairs (member, bucket-min) only.
+    # max_bucket=None mirrors the UNCAPPED call (the ngram-jaccard verify
+    # stage default): all in-bucket pairs, no star fallback.
     rows = k // bands
+    if max_bucket is None:
+        return f"""
+WITH sig AS ({_minhash_sig_sql(k)}),
+banded AS (
+  SELECT doc_id, g.b AS band_idx,
+         array_to_string(list_transform(sig[g.b*{rows}+1 : g.b*{rows}+{rows}],
+                                        x -> x::VARCHAR), ',') AS band_key
+  FROM sig, generate_series(0, {bands - 1}) g(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band_idx, band_key)
+WHERE a.doc_id < b.doc_id
+"""
     return f"""
 WITH sig AS ({_minhash_sig_sql(k)}),
 banded AS (
@@ -1463,7 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _lsh_pairs_sql(128, 16),
         "dedup_ngram_jaccard": f"""
-            WITH pairs AS ({_lsh_pairs_sql(128, 16)}),
+            WITH pairs AS ({_lsh_pairs_sql(128, 16, max_bucket=None)}),
             sh AS (SELECT doc_id, {_HASHED_SHINGLES} AS sh FROM documents)
             SELECT doc_a, doc_b,
                    round(len(list_intersect(a.sh, b.sh))

@@ -233,8 +233,13 @@ def simhash64(docs: DataFrame) -> DataFrame:
     doc_id, reused by the groupBy): raw texts are smaller than exploded
     tokens and the tokenizer parallelizes past a single-file scan."""
     P = docs.sparkSession.sparkContext.defaultParallelism
+    # explode_OUTER keeps null/empty-token docs as a single null-token row
+    # (md5(null) -> v null -> every bit vote falls to the otherwise(-1)
+    # branch -> all votes negative -> simhash 0), so every input doc yields
+    # a row in ONE pass — no second scan of docs, no join (the round-4
+    # left-join fix recomputed a derived docs frame twice)
     ex = docs.repartition(P, "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+        "doc_id", F.explode_outer(F.array_distinct(tokens_col())).alias("tok")
     ).select(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("v"),
@@ -251,17 +256,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
         sim = sim + F.when(F.col(f"c{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    # every input doc yields a row: NULL/empty texts produce no exploded
-    # tokens (no votes group), so left-join the votes back to the distinct
-    # doc set — their bit votes read NULL -> every when() falls through ->
-    # simhash 0 (the explode-only version silently dropped them, changing
-    # output cardinality for corpora with null texts)
-    return (
-        docs.select("doc_id")
-        .distinct()
-        .join(votes, "doc_id", "left")
-        .select("doc_id", sim.alias("simhash"))
-    )
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def srp_buckets(vcol, planes: int = 8, tables: int = 4):

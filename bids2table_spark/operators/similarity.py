@@ -132,11 +132,19 @@ def _assign_cid(vcol, cents: list[list[float]]):
     return F.array_min(ds)["cid"]
 
 
-# Above this many n_centroids x dim doubles, the literal-expression argmin
-# (one Catalyst struct per centroid) stops being viable — plan size grows
-# linearly in nc x dim and codegen chokes well before 4096 centroids x 768
-# dims.  The Arrow path ships the centroid matrix once per python worker
-# and does ONE (batch x dim) @ (dim x nc) matmul per Arrow batch.
+# Above this many LITERALS (n_centroids x dim doubles — not centroid
+# count), the literal-expression argmin (one Catalyst struct per centroid)
+# stops being viable: plan size grows linearly in nc x dim and codegen
+# chokes well before 4096 centroids x 768 dims.  The Arrow path ships the
+# centroid matrix once per python worker and does ONE (batch x dim) @
+# (dim x nc) matmul per Arrow batch.  Caveat: numpy's pairwise/SIMD
+# summation can differ from the literal path's sequential fold by an ulp,
+# so a distance sitting exactly on a .00005 rounding boundary may round
+# differently — an argmin tie can flip cell assignment there.  The
+# default oracle-checked config (16 centroids x small dims) stays on the
+# literal path, whose fold the DuckDB oracle reproduces bit-for-bit; the
+# Arrow path is the documented-approximate scale path (ANN results are
+# approximate by construction).
 IVF_ARROW_CELLS = 4096
 
 
@@ -156,32 +164,45 @@ def make_assign_udf(cents: list[list[float]]):
         from ..blocks import pin_worker_threads
 
         pin_worker_threads()
-        n, dim = len(v), C.shape[1]
-        if n == 0:
-            return pd.Series(np.zeros(0, dtype=np.int32))
-        M = np.zeros((n, dim), dtype=np.float64)
-        null = np.zeros(n, dtype=bool)
-        try:  # fast path: fixed-dim, no nulls -> one stack
-            M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-            if M.shape[1] != dim:
-                raise ValueError
-        except (ValueError, TypeError):  # ragged / null rows: pad with zeros
-            M = np.zeros((n, dim), dtype=np.float64)
-            for i, x in enumerate(v):
-                if x is None:
-                    null[i] = True
-                    continue
-                a = np.asarray(x, dtype=np.float64)[:dim]
-                M[i, : len(a)] = a
+        M, null = _stack_vectors(v, C.shape[1])
+        if M is None:
+            return pd.Series(pd.array([None] * len(v), dtype="Int32"))
         vv = (M * M).sum(axis=1, keepdims=True)
         d2 = np.round(vv - 2.0 * (M @ C.T) + cc[None, :], 4)
         out = np.argmin(d2, axis=1).astype(np.int32)
-        res = pd.Series(out)
+        res = pd.Series(pd.array(out, dtype="Int32"))
         if null.any():
-            res[null] = None
+            res[null] = pd.NA
         return res
 
     return assign
+
+
+def _stack_vectors(v: pd.Series, dim: int):
+    """(n x dim) float64 matrix + null mask from an Arrow list column batch.
+    Null rows pad as zeros (masked out by the caller); ragged rows
+    truncate/pad to ``dim``.  Returns (None, mask) for an all-null or empty
+    batch — np.stack of zero/1-D inputs has no axis-1 to reduce over."""
+    n = len(v)
+    null = np.zeros(n, dtype=bool)
+    if n == 0:
+        return None, null
+    try:  # fast path: fixed-dim, no nulls -> one stack
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        if M.ndim != 2 or M.shape[1] != dim:
+            raise ValueError
+        return M, null
+    except (ValueError, TypeError):  # ragged / null rows: pad with zeros
+        M = np.zeros((n, dim), dtype=np.float64)
+        for i, x in enumerate(v):
+            if x is None:
+                null[i] = True
+                continue
+            a = np.asarray(x, dtype=np.float64)[:dim]
+            M[i, : len(a)] = a
+        if null.all():
+            return None, null
+        return M, null
 
 
 def make_probe_udf(cents: list[list[float]], n_probe: int):
@@ -200,11 +221,16 @@ def make_probe_udf(cents: list[list[float]], n_probe: int):
         pin_worker_threads()
         if len(qv) == 0:
             return pd.Series([], dtype=object)
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in qv])
+        M, null = _stack_vectors(qv, C.shape[1])
+        if M is None:  # all-null batch: no probes, the explode drops them
+            return pd.Series([None] * len(qv), dtype=object)
         vv = (M * M).sum(axis=1, keepdims=True)
         d2 = np.round(vv - 2.0 * (M @ C.T) + cc[None, :], 4)
         order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+        out = pd.Series(list(order))
+        if null.any():  # NULL query vectors probe nothing (degenerate input)
+            out[null] = None
+        return out
 
     return probe
 

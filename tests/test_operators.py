@@ -321,3 +321,33 @@ def test_ivf_arrow_assignment_matches_literal(spark):
     top = S.ivf_topk(emb, q, k=3, n_centroids=6, iters=2, n_probe=3)
     got = top.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in got)
+
+
+def test_ivf_arrow_null_batches(spark):
+    """All-null and mixed-null vector batches must not crash the Arrow
+    assignment/probe path (null rows -> null cid / no probes)."""
+    import numpy as np
+
+    from bids2table_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    cents = [[round(float(x), 6) for x in rng.normal(size=6)] for _ in range(4)]
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]), (2, None), (3, [0.5] * 6)],
+        "vec_id long, v array<double>",
+    )
+    got = {r["vec_id"]: r["cid"] for r in
+           mixed.withColumn("cid", S.make_assign_udf(cents)(F.col("v"))).collect()}
+    assert got[2] is None and got[1] is not None and got[3] is not None
+    allnull = spark.createDataFrame([(1, None), (2, None)], "vec_id long, v array<double>")
+    got2 = {r["vec_id"]: r["cid"] for r in
+            allnull.withColumn("cid", S.make_assign_udf(cents)(F.col("v"))).collect()}
+    assert got2 == {1: None, 2: None}
+    # probe UDF: null queries probe nothing, valid ones get n_probe cells
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]), (2, None)],
+        "query_id long, qv array<double>",
+    )
+    p = {r["query_id"]: r["p"] for r in
+         q.select("query_id", S.make_probe_udf(cents, 2)(F.col("qv")).alias("p")).collect()}
+    assert p[2] is None and len(p[1]) == 2

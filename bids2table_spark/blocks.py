@@ -332,49 +332,6 @@ def encode_block_arrow(
     }
 
 
-def encode_block(
-    pt: str,
-    grp: str,
-    block_id: int,
-    column: str,
-    series: pd.Series,
-    phys: str,
-    codec_name: str,
-) -> dict:
-    """Encode one column chunk into a block-row dict (pandas path)."""
-    if is_list_phys(phys):
-        arr = pa.Array.from_pandas(series)
-        return _encode_list_block(pt, grp, 0, column, arr, phys, codec_name) | {
-            "block_id": block_id
-        }
-    logical = PHYS_TO_LOGICAL[phys]
-    valid, mask = _to_kernel(series, phys)
-    n = len(series)
-    n_nulls = int(n - mask.sum())
-    codec = get_codec(codec_name)
-    meta, payload = codec.encode(valid, logical)
-    if n_nulls:
-        mask_b = np.packbits(mask).tobytes()
-        payload = mask_b + payload
-        meta = dict(meta)
-        meta["mask_bytes"] = len(mask_b)
-    return {
-        "pt": pt,
-        "grp": grp,
-        "block_id": block_id,
-        "column": column,
-        "codec": codec_name,
-        "phys": phys,
-        "n_rows": n,
-        "n_nulls": n_nulls,
-        "meta": meta_dumps(meta),
-        "payload": payload,
-        "orig_bytes": _orig_bytes(valid, phys, n),
-        "enc_bytes": len(payload),
-        "checksum": _canonical_bytes(valid, mask, phys),
-    }
-
-
 # ----------------------------------------------------------------- list<T>
 
 

@@ -5,7 +5,7 @@ batches -> buffered parquet sink, ``bids2table/crawler.py:90-136`` +
 ``writer.py:57-110``; re-expressed Spark-first):
 
     df -> with_group (salted, broadcast join)
-       -> groupBy(pt, grp).applyInPandas(encode_group)   # ONE shuffle
+       -> groupBy(pt, grp).applyInArrow(encode_group)    # ONE shuffle
        -> block rows (pt, grp, block_id, column, codec, payload, ...)
 
 Inside each group the rows are sorted by the key columns (the reference
@@ -23,7 +23,7 @@ from typing import Callable, Mapping
 import pandas as pd
 import pyarrow as pa
 
-from .blocks import BLOCKS_SCHEMA_DDL, encode_block, spark_field_phys, zone_key_value
+from .blocks import BLOCKS_SCHEMA_DDL, spark_field_phys, zone_key_value
 from .partitioning import DEFAULT_GROUP_ROWS, salt_plan, with_group
 from .selector import choose_codec_local
 
@@ -51,60 +51,6 @@ def error_row(pt: str, grp: str, exc: Exception) -> dict:
         "meta": json.dumps({"error": msg}), "payload": b"", "orig_bytes": 0,
         "enc_bytes": 0, "checksum": "", "zmin": None, "zmax": None,
     }
-
-
-def make_encode_fn(
-    columns: list[tuple[str, str]],
-    sort_cols: list[str],
-    plan: Mapping[str, str] | None,
-    block_rows: int,
-) -> Callable:
-    """Build the applyInPandas group encoder.
-
-    ``columns`` = [(name, phys)], ``plan`` maps column (or ``pt/column``) to a
-    codec name; columns absent from the plan fall back to a local stats-based
-    choice per block (selector.choose_codec_local).
-    """
-
-    # zone images must be keyed on the column's PHYS type, not the runtime
-    # python type: pandas promotes nullable int64 keys to float64, and the
-    # float image would not compare against decode's native-int bounds
-    key_phys = dict(columns).get(sort_cols[0])
-
-    def encode_group(key, pdf):
-        from .blocks import pin_worker_threads
-
-        pin_worker_threads()
-        pt, grp = str(key[0]), str(key[1])
-        try:
-            pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
-            rows = []
-            n = len(pdf)
-            for b, lo in enumerate(range(0, n, block_rows)):
-                chunk = pdf.iloc[lo : lo + block_rows]
-                keys = chunk[sort_cols[0]].dropna()
-                zmin = zone_key_value(keys.iloc[0], key_phys) if len(keys) else None
-                zmax = zone_key_value(keys.iloc[-1], key_phys) if len(keys) else None
-                for ci, (col, phys) in enumerate(columns):
-                    codec = None
-                    if plan:
-                        codec = plan.get(f"{pt}/{col}") or plan.get(col)
-                    if codec is None:
-                        codec = choose_codec_local(chunk[col], phys)
-                    row = encode_block(pt, grp, b, col, chunk[col], phys, codec)
-                    row["col_idx"] = ci
-                    row["zmin"], row["zmax"] = zmin, zmax
-                    rows.append(row)
-        except Exception as exc:  # noqa: BLE001 — isolate the poisoned group
-            rows = [error_row(pt, grp, exc)]
-        cols_order = [
-            "pt", "grp", "block_id", "column", "col_idx", "codec", "phys",
-            "n_rows", "n_nulls", "meta", "payload", "orig_bytes", "enc_bytes",
-            "checksum", "zmin", "zmax",
-        ]
-        return pd.DataFrame(rows, columns=cols_order)
-
-    return encode_group
 
 
 def flatten_struct_columns(df):

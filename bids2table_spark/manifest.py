@@ -56,15 +56,22 @@ def _colmeta_path(out_dir: str) -> str:
     return f"{out_dir.rstrip('/')}/colmeta.json"
 
 
-def _save_colmeta(out_dir: str, df: DataFrame) -> None:
+def _save_colmeta(out_dir: str, df: DataFrame, keyinfo: dict | None = None) -> None:
     """Persist per-column Spark field metadata (reference carries per-column
     string metadata through concat/prefix, bids2table/schema.py:277-284; the
     Spark-native channel is StructField.metadata).  Driver-side JSON sidecar —
     tiny, written once per out_dir; local-path seam like _exists (an object
-    store would go through the Hadoop FS API here)."""
+    store would go through the Hadoop FS API here).
+
+    ``keyinfo`` (stored under the reserved ``__keyinfo__`` name, never a
+    valid column) records the sort-key column + phys type and the caller's
+    original pt column name so decode can coerce ``key_range`` bounds to
+    the key's physical type and restore the pt column name."""
     import json
 
     meta = {f.name: f.metadata for f in df.schema.fields if f.metadata}
+    if keyinfo:
+        meta["__keyinfo__"] = keyinfo
     if not meta:
         return
     p = _colmeta_path(out_dir).removeprefix("file://")
@@ -110,6 +117,21 @@ def committed_groups(spark: SparkSession, out_dir: str) -> DataFrame | None:
     if m is None:
         return None
     return m.filter(F.col("status") == "committed").select("pt", "grp").distinct()
+
+
+def _latest_committed(m: DataFrame, pt_col: str = "pt") -> DataFrame:
+    """Latest committed manifest row per (pt, grp) — THE definition of the
+    live run for a group; resume verification and the reader must agree on
+    it, so both go through this helper."""
+    w = Window.partitionBy(pt_col, "grp").orderBy(
+        F.col("committed_at").desc(), F.col("run_id").desc()
+    )
+    return (
+        m.filter(F.col("status") == "committed")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def load_salt_plan(
@@ -205,8 +227,33 @@ def encode_job(
     bpath, mpath, _ = _paths(out_dir)
     run_path = f"{bpath}/run_id={run_id}"
 
-    _save_colmeta(out_dir, df)  # before flattening: metadata sits on the
-    # original top-level fields (struct parents included)
+    from .blocks import spark_field_phys
+
+    # the block container names its partition column 'pt' (BLOCKS_SCHEMA_DDL);
+    # normalize the caller's pt column to it and record the original name so
+    # decode_job can rename it back — without this any pt_col != 'pt' crashed
+    # after the blocks were already written (manifest groupBy on a column the
+    # block schema doesn't have)
+    orig_pt_col = pt_col
+    if pt_col != "pt":
+        if "pt" in df.columns:
+            raise ValueError(
+                f"pt_col={pt_col!r} but the input also has a column named 'pt' "
+                "(the container's reserved partition column); rename one"
+            )
+        df = df.withColumnRenamed(pt_col, "pt")
+        pt_col = "pt"
+    try:
+        key_phys = spark_field_phys(df.schema[key_cols[0]].dataType)
+    except Exception:  # key column only materializes post-flatten
+        key_phys = None
+    keyinfo = {
+        "key_cols": list(key_cols),
+        "key_phys": key_phys,
+        "pt_col": orig_pt_col,
+    }
+    _save_colmeta(out_dir, df, keyinfo)  # before flattening: metadata sits on
+    # the original top-level fields (struct parents included)
     df = flatten_struct_columns(df)
     splan = resolve_salt_plan(
         spark, df, out_dir, scope=group_prefix, pt_col=pt_col,
@@ -236,15 +283,7 @@ def encode_job(
         pending = pending.join(done, on=[pt_col, "grp"], how="left_anti")
         n_pending = pending.count()
     if done is not None and n_pending < n_total and verify_growth:
-        w = Window.partitionBy(pt_col, "grp").orderBy(
-            F.col("committed_at").desc(), F.col("run_id").desc()
-        )
-        latest = (
-            mdf.filter(F.col("status") == "committed")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(pt_col, "grp", "n_rows")
-        )
+        latest = _latest_committed(mdf, pt_col).select(pt_col, "grp", "n_rows")
         in_counts = (
             grouped.join(F.broadcast(latest.select(pt_col, "grp")), on=[pt_col, "grp"], how="left_semi")
             .groupBy(pt_col, "grp")
@@ -290,7 +329,16 @@ def encode_job(
     # 2) … then manifest rows derived from what actually landed on disk.
     # Reading run_path (not the blocks root) means an incremental run's job
     # graph touches only its own output — never the accumulated history.
-    written = spark.read.parquet(run_path)
+    # The explicit schema keeps an all-empty-groups write (no part files)
+    # from failing schema inference, and the semi-join on THIS attempt's
+    # pending set keeps a crashed-then-retried pinned run_id from
+    # re-appending manifest rows for groups the first attempt already
+    # committed (the block-level dedup below fixes metrics, not row count).
+    from .encode import BLOCKS_DDL_WITH_IDX
+
+    written = spark.read.schema(BLOCKS_DDL_WITH_IDX).parquet(run_path).join(
+        F.broadcast(pending), on=[pt_col, "grp"], how="left_semi"
+    )
     # a crashed-then-retried run with a pinned run_id appends a second,
     # bit-identical copy of some blocks; dedup so metrics stay exact
     wd = Window.partitionBy(pt_col, "grp", "block_id", "column").orderBy("checksum")
@@ -348,6 +396,44 @@ def encode_job(
     )
     manifest.write.mode("append").parquet(mpath)
 
+    # salt buckets that received ZERO conversations (hash imbalance on a
+    # small n_salts) produce no blocks and hence no manifest row above —
+    # without an explicit committed row they stay pending forever and every
+    # resume re-runs the whole encode. pending is driver-sized (it started
+    # as a python list), so the gap set is computed locally.
+    pending_keys = {(r[pt_col], r["grp"]) for r in pending.collect()}
+    got_keys = {
+        (r[pt_col], r["grp"])
+        for r in spark.read.parquet(mpath)
+        .filter(F.col("run_id") == run_id)
+        .select(pt_col, "grp")
+        .distinct()
+        .collect()
+    }
+    empty_keys = sorted(pending_keys - got_keys)
+    if empty_keys:
+        from .session import local_df
+
+        empties = (
+            local_df(spark, list(empty_keys), f"{pt_col} string, grp string")
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("n_blocks", F.lit(0).cast("long"))
+            .withColumn("n_rows", F.lit(0).cast("long"))
+            .withColumn("orig_bytes", F.lit(0).cast("long"))
+            .withColumn("enc_bytes", F.lit(0).cast("long"))
+            .withColumn("codecs", F.lit("[]"))
+            .withColumn("checksum", F.lit(""))
+            .withColumn("status", F.lit("committed"))
+            .withColumn("committed_at", F.current_timestamp())
+            .withColumn("error", F.lit(None).cast("string"))
+            .select(
+                pt_col, "grp", "run_id", "n_blocks", "n_rows", "orig_bytes",
+                "enc_bytes", "codecs", "checksum", "status", "committed_at",
+                "error",
+            )
+        )
+        empties.write.mode("append").parquet(mpath)
+
     m = spark.read.parquet(mpath).filter(F.col("run_id") == run_id)
     agg = m.agg(
         F.sum((F.col("status") == "committed").cast("long")),
@@ -373,15 +459,7 @@ def committed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     m = read_manifest(spark, out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
-    w = Window.partitionBy("pt", "grp").orderBy(
-        F.col("committed_at").desc(), F.col("run_id").desc()
-    )
-    latest = (
-        m.filter(F.col("status") == "committed")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("pt", "grp", "run_id")
-    )
+    latest = _latest_committed(m).select("pt", "grp", "run_id")
     # explicit static partition pruning: the live run_id set is tiny (one
     # per surviving run), so materialize it driver-side and filter with a
     # literal isin — superseded run_id= directories are pruned at planning
@@ -430,19 +508,28 @@ def decode_job(
         for c in columns:  # struct parents: pull in every parent·field block
             wanted = wanted | F.col("column").startswith(f"{c}·")
         blocks = blocks.filter(wanted)
+    colmeta = _load_colmeta(out_dir)
+    keyinfo = colmeta.pop("__keyinfo__", None) or {}
     if key_range is not None:
         from .blocks import zone_key_value
 
         # bounds pass through the same order-preserving image the encoder
-        # stored (pass lo/hi with the key column's native python type)
-        lo, hi = (zone_key_value(v) for v in key_range)
+        # stored, COERCED to the key column's recorded phys type — a bound
+        # whose python type doesn't match (ints for a double key, floats
+        # for an int key) would otherwise image into a different fixed-width
+        # alphabet and the lexicographic compare silently mis-prunes
+        key_phys = keyinfo.get("key_phys")
+        lo, hi = (zone_key_value(v, key_phys) for v in key_range)
         blocks = blocks.filter((F.col("zmax") >= lo) & (F.col("zmin") <= hi))
     out = decode_table(blocks, verify=verify)
     # reattach per-column field metadata captured at encode time
-    colmeta = _load_colmeta(out_dir)
     if colmeta:
         present = set(out.columns)
         for name, meta in colmeta.items():
             if name in present:
                 out = out.withMetadata(name, meta)
+    # restore the caller's pt column name (encode normalized it to 'pt')
+    orig_pt = keyinfo.get("pt_col")
+    if orig_pt and orig_pt != "pt" and "pt" in out.columns:
+        out = out.withColumnRenamed("pt", orig_pt)
     return out

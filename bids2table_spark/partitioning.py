@@ -63,6 +63,12 @@ def with_group(
     passes the epoch id so a new micro-batch can never collide with groups
     committed by an earlier one).
     """
+    if "grp" in df.columns:
+        raise ValueError(
+            "input has a column named 'grp', which the encoder reserves for "
+            "the salt-group label — withColumn would silently REPLACE the "
+            "user column and drop it from the encoded output; rename it first"
+        )
     entries: list = []
     for k, v in sorted(plan.items()):
         entries.extend([F.lit(k), F.lit(int(v))])

@@ -236,3 +236,76 @@ def test_column_metadata_roundtrip(spark, transcripts, tmp_path):
     # untagged columns stay metadata-free
     assert dec.schema["role"].metadata == {}
     pd.testing.assert_frame_equal(_sorted(transcripts), _sorted(dec))
+
+
+def test_empty_salt_bucket_converges(spark, tmp_path):
+    """A salt bucket that receives zero conversations (hash imbalance) must
+    still get a committed manifest row, or resume re-encodes forever."""
+    import pyspark.sql.functions as F
+
+    # one conversation, forced n_salts=2: one bucket is empty by pigeonhole
+    pdf = pd.DataFrame([
+        ("p0", "conv-solo", t, "user", f"m{t}", None,
+         pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)) for t in range(600)],
+        columns=["pt", "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df = spark.createDataFrame(
+        pdf, "pt string, conv_id string, turn_idx int, role string, "
+             "text string, tool string, ts timestamp_ntz")
+    out = str(tmp_path / "empty_bucket")
+    s1 = encode_job(spark, df, out, run_id="r1", target_group_rows=300)
+    assert s1["groups_total"] == 2
+    assert s1["groups_encoded"] == 2  # incl. the empty bucket, committed
+    # second run must be a pure no-op (0 pending -> early exit)
+    s2 = encode_job(spark, df, out, run_id="r2")
+    assert s2["groups_encoded"] == 0 and s2["groups_skipped"] == 2
+    dec = decode_job(spark, out)
+    assert dec.count() == 600
+
+
+def test_pt_col_normalization_roundtrip(spark, tmp_path):
+    """encode_job(pt_col='partition') must work end-to-end and decode back
+    with the caller's column name (round-4 fix: it crashed after writing
+    blocks because the container schema hardcodes 'pt')."""
+    pdf = pd.DataFrame([
+        ("a", f"c{i//50:02d}", i % 50, "user", f"t{i}", None,
+         pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i)) for i in range(400)],
+        columns=["partition", "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df = spark.createDataFrame(
+        pdf, "partition string, conv_id string, turn_idx int, role string, "
+             "text string, tool string, ts timestamp_ntz")
+    out = str(tmp_path / "ptcol")
+    s = encode_job(spark, df, out, run_id="p1", pt_col="partition",
+                   target_group_rows=200)
+    assert s["groups_failed"] == 0 and s["n_rows"] == 400
+    dec = decode_job(spark, out)
+    assert "partition" in dec.columns and "pt" not in dec.columns
+    assert dec.count() == 400
+
+
+def test_reserved_grp_column_rejected(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("p0", "c0", 0, "x")], "pt string, conv_id string, turn_idx int, grp string")
+    with pytest.raises(ValueError, match="grp"):
+        encode_job(spark, df, str(tmp_path / "g"), run_id="g1")
+
+
+def test_pinned_run_retry_does_not_double_count(spark, transcripts, tmp_path):
+    """Re-running a pinned run_id after a simulated crash-after-commit must
+    not re-append manifest rows for already-committed groups (the summary
+    previously double-counted their bytes)."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "retry")
+    s1 = encode_job(spark, transcripts, out, run_id="rX", max_groups=2)
+    s2 = encode_job(spark, transcripts, out, run_id="rX")  # same run_id
+    m = read_manifest(spark, out)
+    dup = (
+        m.groupBy("pt", "grp").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0, "duplicate manifest rows for one (pt, grp)"
+    total_rows = transcripts.count()
+    # summary for a reused run_id is cumulative for that run_id — exactly
+    # the input's total, never more (double-counted rows exceeded it)
+    assert s2["n_rows"] == total_rows
+    dec = decode_job(spark, out)
+    assert dec.count() == total_rows

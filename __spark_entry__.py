@@ -1571,11 +1571,16 @@ def oracle_sql() -> dict[str, str]:
                      ('0x' || substr(md5(substring(text, i, 8)), 1, 8))::BIGINT AS h
               FROM documents,
                    unnest(generate_series(1, greatest(length(text) - 7, 1))) t(i)
+            ),
+            s AS (
+              SELECT doc_id, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id) AS m
+              FROM g
             )
-            SELECT DISTINCT doc_id,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY i
-                                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
-            FROM g
+            SELECT DISTINCT doc_id, fp FROM s
+            WHERE i <= m - 15 OR (m < 16 AND i = 1)
         """,
     }
 

@@ -144,38 +144,6 @@ def _rank_candidates(sample: np.ndarray, cap: int) -> list[bytes]:
     ]
 
 
-def _keep_greedy(cand: np.ndarray, L: int) -> np.ndarray:
-    """Greedy-consistent approximate non-overlap selection among sorted
-    candidate positions of one length class, vectorized.
-
-    Step 1: keep only the first candidate per L-aligned block.  This is an
-    approximation, not exact greedy: the kept candidate can be blocked by a
-    prior-chain selection while a later same-block candidate would have been
-    selectable (e.g. L=4, positions [2,4,7]: true greedy keeps {2,7}, the
-    thinning keeps {2}).  Round-trips stay bit-identical — uncovered bytes
-    are escaped — only the compression ratio is (slightly) affected.
-    Step 2: after thinning, consecutive survivors are in distinct blocks, so
-    any position two survivors later is always > L away; greedy therefore
-    alternates inside each maximal chain of <L-spaced survivors — a parity
-    rule computable with run detection.
-    """
-    if len(cand) == 0:
-        return cand
-    blocks = cand // L
-    first = np.empty(len(cand), dtype=bool)
-    first[0] = True
-    np.not_equal(blocks[1:], blocks[:-1], out=first[1:])
-    q = cand[first]
-    conflict = np.empty(len(q), dtype=bool)
-    conflict[0] = False
-    np.less(q[1:] - q[:-1], L, out=conflict[1:])
-    starts = ~conflict
-    start_idx = np.flatnonzero(starts)
-    firsts = np.repeat(start_idx, np.diff(np.append(start_idx, len(q))))
-    keep = ((np.arange(len(q)) - firsts) % 2) == 0
-    return q[keep]
-
-
 def _keep_greedy_idx(
     cand: np.ndarray, payload: np.ndarray, L: int
 ) -> tuple[np.ndarray, np.ndarray]:

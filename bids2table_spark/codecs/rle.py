@@ -10,10 +10,9 @@ FOR+bit-packed.  SQL-oracle equivalent: ``lag`` + cumulative ``sum`` window
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from . import bitpack as bp
-from .base import DTYPE_BIN, DTYPE_I64, DTYPE_STR, buf_to_strings, pack_sections, split_sections, strings_to_buf
+from .base import DTYPE_BIN, DTYPE_I64, DTYPE_STR, pack_sections, split_sections
 from .dictionary import factorize_block
 
 

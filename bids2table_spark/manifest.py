@@ -384,6 +384,13 @@ def encode_job(
             F.max(F.when(~is_data, F.col("meta"))).alias("error"),
         )
         .withColumn("run_id", F.lit(run_id))
+        # a group is failed only if it has NO data blocks: a retried pinned
+        # run_id leaves the previous attempt's error row in run_path next
+        # to the retry's data blocks, and the stale error must not poison
+        # the successful retry's manifest row
+        .withColumn(
+            "error", F.when(F.col("n_blocks") == 0, F.col("error"))
+        )
         .withColumn(
             "status",
             F.when(F.col("error").isNotNull(), F.lit("failed")).otherwise(F.lit("committed")),
@@ -435,6 +442,12 @@ def encode_job(
         empties.write.mode("append").parquet(mpath)
 
     m = spark.read.parquet(mpath).filter(F.col("run_id") == run_id)
+    # summary over the LATEST row per (pt, grp) within this run: a replayed
+    # epoch / retried pinned run_id re-encodes previously-failed groups and
+    # appends committed rows — the superseded failed rows must not keep
+    # counting (a streaming retry would loop forever on groups_failed > 0)
+    wlast = Window.partitionBy(pt_col, "grp").orderBy(F.col("committed_at").desc())
+    m = m.withColumn("_rn", F.row_number().over(wlast)).filter(F.col("_rn") == 1)
     agg = m.agg(
         F.sum((F.col("status") == "committed").cast("long")),
         F.sum((F.col("status") == "failed").cast("long")),

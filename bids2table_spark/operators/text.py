@@ -126,8 +126,23 @@ def fingerprint_winnow(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
         .orderBy("i")
         .rowsBetween(Window.currentRow, w - 1)
     )
+    # FULL windows only: the truncated trailing suffix windows would always
+    # fingerprint the doc's last k-gram (any two docs sharing a final k
+    # chars got a guaranteed shared fingerprint — below the w+k-1 guarantee
+    # threshold).  Docs with fewer than w grams keep their whole-doc min
+    # (the i=1 window covers all grams there).
+    wdoc = Window.partitionBy("doc_id")
+    sel = grams.select(
+        "doc_id", "i",
+        F.min("h").over(win).alias("fp"),
+        F.count("*").over(wdoc).alias("m"),
+    )
     return (
-        grams.select("doc_id", F.min("h").over(win).alias("fp"))
+        sel.filter(
+            (F.col("i") <= F.col("m") - (w - 1))
+            | ((F.col("m") < w) & (F.col("i") == 1))
+        )
+        .select("doc_id", "fp")
         .distinct()
     )
 

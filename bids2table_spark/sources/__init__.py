@@ -16,9 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True if the Iceberg Spark runtime is on the classpath."""
+    """True if the Iceberg Spark runtime is on the classpath.
+
+    Must actually LOAD the class: py4j resolves a nonexistent class path to
+    a ``JavaPackage`` placeholder without raising, so a bare attribute
+    probe (``spark._jvm.org.apache.iceberg.Table``) returns truthy on
+    every classpath and the parquet fallback in :func:`read_table` would
+    never trigger."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False

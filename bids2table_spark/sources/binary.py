@@ -54,6 +54,12 @@ def write_media_files(root: str, n: int = 64, seed: int = 42) -> str:
             if fh.read() == stamp:
                 return root
     os.makedirs(root, exist_ok=True)
+    # clear any previous fixture's files: shrinking n / changing seed must
+    # not leave stale media_* files for the globbed readers to pick up
+    import glob as _glob
+
+    for old in _glob.glob(os.path.join(root, "media_*.*")):
+        os.remove(old)
     for i in range(n):
         payload, kind = media_payload(seed, i)
         fname = f"media_{i:05d}.{MEDIA_EXT[kind]}"
@@ -124,6 +130,15 @@ def binaries_from_path_list(
     keys = list_df.select(_norm_path(F.col("path")).alias("p")).distinct()
     head = [r["p"] for r in keys.limit(max_driver_paths + 1).collect()]
     if len(head) <= max_driver_paths:
+        # match the semi-join fallback's semantics exactly: paths outside
+        # root or no longer on disk are SKIPPED, not returned / not fatal
+        # (load() would throw PATH_NOT_FOUND on one stale entry, making
+        # results depend on list size instead of content)
+        rt = root.rstrip("/") + "/"
+        head = [
+            p for p in head
+            if p.startswith(rt) and os.path.isfile(p)
+        ]
         if not head:
             return binary_file_source(spark, root).limit(0)
         return spark.read.format("binaryFile").load(head)

@@ -41,8 +41,14 @@ def tsv_source(spark: SparkSession, path: str, schema=None, **options) -> DataFr
 
 def tsv_array_column(df: DataFrame, col: str, sep: str = ",", cast: str | None = None):
     """S6: array-TSV cell -> typed array column (the reference parses
-    delimiter-packed arrays out of single TSV cells)."""
-    arr = F.split(F.col(col), sep)
+    delimiter-packed arrays out of single TSV cells).
+
+    ``sep`` is a literal delimiter, not a regex — F.split takes a Java
+    regex, so metachar separators ('|', '.', '+') must be escaped or they
+    silently split between every character."""
+    import re
+
+    arr = F.split(F.col(col), re.escape(sep))
     if cast:
         arr = F.transform(arr, lambda x: x.cast(cast))
     return df.withColumn(col, arr)

@@ -257,7 +257,10 @@ def merged_stats(
         f_partial, f_ndv = ex.submit(_partial), ex.submit(_ndv)
         partial, ndv_row = f_partial.result(), f_ndv.result()
     shared.unpersist()
-    ndv = {(r[pt_col], n): int(r[n]) for r in ndv_row for n, _ in fields}
+    # stringify pt to match the partials (per_chunk does str(key[0])):
+    # a non-string pt column would otherwise miss on every lookup and
+    # silently fall back to the far-too-low per-chunk distinct counts
+    ndv = {(str(r[pt_col]), n): int(r[n]) for r in ndv_row for n, _ in fields}
 
     rows = []
     for (pt, col), g in partial.groupby(["pt", "column"], sort=True):

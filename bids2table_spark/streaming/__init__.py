@@ -42,7 +42,7 @@ def encode_stream(
         # after a crash still dedups via the manifest anti-join), and the
         # epoch's salt plan is persisted under the same scope so a replay on
         # a different-sized cluster keeps identical labels.
-        encode_job(
+        summary = encode_job(
             spark,
             batch_df,
             out_dir,
@@ -51,6 +51,18 @@ def encode_stream(
             plan=plan,
             **encode_kwargs,
         )
+        # encode_job isolates failed groups (manifest status='failed') and
+        # returns instead of raising — right for batch, WRONG to let a
+        # micro-batch checkpoint past: the next epoch's group universe
+        # excludes this epoch's labels, so unraised failures would never be
+        # retried (silent loss).  Raising fails the batch; Spark replays it
+        # and the manifest anti-join skips the groups that did commit.
+        if summary["groups_failed"]:
+            raise RuntimeError(
+                f"epoch {epoch_id}: {summary['groups_failed']} group(s) failed "
+                f"to encode (see manifest status='failed' under {out_dir}); "
+                "failing the batch so the stream retries it"
+            )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint or f"{out_dir.rstrip('/')}/_checkpoint"

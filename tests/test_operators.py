@@ -351,3 +351,37 @@ def test_ivf_arrow_null_batches(spark):
     p = {r["query_id"]: r["p"] for r in
          q.select("query_id", S.make_probe_udf(cents, 2)(F.col("qv")).alias("p")).collect()}
     assert p[2] is None and len(p[1]) == 2
+
+
+def test_winnow_full_windows_only(spark):
+    """Truncated trailing windows must not fingerprint: two docs sharing
+    ONLY their final k characters must share no fingerprint (below the
+    w+k-1 guarantee threshold); docs shorter than w grams keep their
+    whole-doc min."""
+    from bids2table_spark.operators.text import fingerprint_winnow
+
+    suffix = "ZZZZZZZZ"  # k=8 shared tail, nothing else in common
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789" + suffix),
+         (2, "THEQUICKBROWNFOXJUMPSOVERTHELAZYDOGS" + suffix)],
+        "doc_id long, text string",
+    )
+    fps = fingerprint_winnow(df, k=8, w=16).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert not (by_doc[1] & by_doc[2]), "shared tail-only fingerprint leaked"
+    # short doc (< w grams) still fingerprints via its whole-doc min
+    short = spark.createDataFrame([(3, "tiny text!")], "doc_id long, text string")
+    assert fingerprint_winnow(short, k=8, w=16).count() == 1
+    # the guarantee itself: docs sharing a >= w+k-1 substring DO share one
+    core = "SHAREDSUBSTRINGTHATISLONGENOUGHYES"  # 34 >= 16+8-1
+    df2 = spark.createDataFrame(
+        [(4, "xx" + core + "qqqqqqqqqq"), (5, "yyyyyyyy" + core + "zz")],
+        "doc_id long, text string",
+    )
+    fp2 = fingerprint_winnow(df2, k=8, w=16).collect()
+    bd = {}
+    for r in fp2:
+        bd.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert bd[4] & bd[5], "w+k-1 shared-substring guarantee broken"

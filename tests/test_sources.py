@@ -183,3 +183,34 @@ def test_path_list_source_npy(spark, tmp_path):
 
     with pytest.raises(TypeError, match="strings"):
         path_list_source(spark, str(bad))
+
+
+def test_iceberg_probe_actually_loads_class(spark):
+    """py4j returns a JavaPackage for missing classes without raising, so
+    the availability probe must Class.forName — in this sandbox (no
+    Iceberg jar) it must be False, keeping read_table on the parquet path."""
+    from bids2table_spark.sources import iceberg_available
+
+    assert iceberg_available(spark) is False
+
+
+def test_tsv_array_metachar_separator(spark):
+    from bids2table_spark.sources.text import tsv_array_column
+
+    df = spark.createDataFrame([("1|2|3",), ("4.5|6",)], "v string")
+    out = tsv_array_column(df, "v", sep="|").collect()
+    assert [r["v"] for r in out] == [["1", "2", "3"], ["4.5", "6"]]
+    df2 = spark.createDataFrame([("a.b.c",)], "v string")
+    assert tsv_array_column(df2, "v", sep=".").collect()[0]["v"] == ["a", "b", "c"]
+
+
+def test_media_fixture_rewrite_clears_stale_files(tmp_path):
+    from bids2table_spark.sources.binary import write_media_files
+
+    root = str(tmp_path / "media")
+    write_media_files(root, n=10, seed=42)
+    write_media_files(root, n=4, seed=7)
+    import glob
+
+    files = glob.glob(f"{root}/media_*.*")
+    assert len(files) == 4

@@ -232,3 +232,29 @@ def test_spark_submit_py_files_zip(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     r = submit("verify", "--input", src, "--encoded", enc, "--out", enc)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_streaming_failed_group_fails_batch(spark, tmp_path):
+    """A micro-batch with failed groups must FAIL (so Spark retries it) —
+    checkpointing past an unraised failure would lose those rows forever
+    (the next epoch's group universe excludes this epoch's labels)."""
+    src = str(tmp_path / "src_f")
+    out = str(tmp_path / "enc_f")
+    tr = synth_transcripts(spark, n_conv=60, seed=42, n_pt=2).cache()
+    tr.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = encode_stream(
+        spark, src, out, schema, target_group_rows=4096,
+        plan={"pt-0001/text": "no_such_codec"},
+    )
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="failed"):
+        q.awaitTermination(120)
+        q.stop()
+    # retry with a sane plan from the same checkpoint: batch replays,
+    # committed groups are skipped, the failed ones encode
+    q2 = encode_stream(spark, src, out, schema, target_group_rows=4096)
+    q2.awaitTermination(120)
+    dec = decode_job(spark, out)
+    pd.testing.assert_frame_equal(_sorted(tr), _sorted(dec))

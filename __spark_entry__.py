@@ -903,7 +903,13 @@ def q_path_list_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = write_media_files(_mat_dir(sf_dir, "media"), n=200, seed=42)
     list_path = os.path.join(_mat_dir(sf_dir, "medialist"), "worklist.txt")
-    if not os.path.isfile(list_path):
+    # stamp the worklist with the fixture params: a fixture rebuild (n/seed
+    # change deletes stale media_* files) must invalidate the cached list,
+    # or it would name absolute paths to files that no longer exist
+    stamp_path = list_path + ".stamp"
+    stamp = "200:42"
+    stale = not os.path.isfile(stamp_path) or open(stamp_path).read() != stamp
+    if not os.path.isfile(list_path) or stale:
         os.makedirs(os.path.dirname(list_path), exist_ok=True)
         names = sorted(f for f in os.listdir(root) if f.startswith("media_"))
         lines = ["# media work list (ids with id % 7 < 3)", ""]
@@ -914,6 +920,8 @@ def q_path_list_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         with open(list_path, "w") as fh:
             fh.write("\n".join(lines) + "\n")
+        with open(stamp_path, "w") as fh:
+            fh.write(stamp)
     listed = path_list_source(spark, list_path)
     df = binaries_from_path_list(spark, root, listed)
     return df.select(

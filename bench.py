@@ -116,7 +116,8 @@ def encode_bench(spark, n_conv: int, group_rows: int | None = None) -> dict:
         t2 = time.time()
         decoded_rows = decode_job(spark, f"{tmp}/enc").count()
         decode_s = time.time() - t2
-        assert decoded_rows == n_rows, f"decode rows {decoded_rows} != {n_rows}"
+        if decoded_rows != n_rows:  # explicit: assert vanishes under python -O
+            raise RuntimeError(f"decode rows {decoded_rows} != {n_rows}")
 
         # reference compressed size: same table as Parquet+zstd
         t1 = time.time()

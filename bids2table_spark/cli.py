@@ -51,12 +51,20 @@ def main(argv: list[str] | None = None) -> int:
         for key in ("input", "out", "run_id"):
             if getattr(args, key, None) in (None, "") and key in cfg:
                 setattr(args, key, cfg[key])
-        args.block_rows = int(cfg.get("block_rows", args.block_rows))
-        args.group_rows = int(cfg.get("group_rows", args.group_rows))
-        args.sample_fraction = float(cfg.get("sample_fraction", args.sample_fraction))
+        # config fills only flags the user did NOT set explicitly (same
+        # precedence as input/out/run_id above) — an explicit --group-rows
+        # must win over the config file, not the other way round
+        explicit = set()
+        for tok in argv if argv is not None else sys.argv[1:]:
+            if tok.startswith("--"):
+                explicit.add(tok[2:].split("=", 1)[0].replace("-", "_"))
+        for key, conv in (("block_rows", int), ("group_rows", int),
+                          ("sample_fraction", float)):
+            if key in cfg and key not in explicit:
+                setattr(args, key, conv(cfg[key]))
         if cfg.get("resume") is False:
             args.no_resume = True
-    if not args.out:
+    if not args.out and not (args.command == "verify" and args.encoded):
         p.error("--out is required (flag or config file)")
 
     from bids2table_spark import (

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from .blocks import decode_block, is_list_phys, list_child_phys
+from .blocks import is_list_phys, list_child_phys
 
 _PHYS_TO_DDL = {
     "string": "string",

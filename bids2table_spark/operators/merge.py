@@ -27,6 +27,12 @@ def resume_filter(candidates: DataFrame, processed: DataFrame, key_cols: list[st
 
 def dedup_keep_last(df: DataFrame, key_cols: list[str], order_col: str, tiebreak: str | None = None) -> DataFrame:
     """Keep the most recent row per key (drop_duplicates keep='last')."""
+    if "_rn" in df.columns:
+        raise ValueError(
+            "input has a column named '_rn', which dedup_keep_last uses "
+            "internally — withColumn would silently replace and drop it; "
+            "rename it first"
+        )
     order = [F.col(order_col).desc()]
     if tiebreak:
         order.append(F.col(tiebreak).desc())

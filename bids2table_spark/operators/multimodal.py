@@ -37,11 +37,18 @@ FEATURES_DDL = (
 _FEAT_DIM = 16
 
 
+def media_hash(seed: int, i: int) -> bytes:
+    """THE per-id digest — single source for payload bytes AND metadata
+    fields (width/height/duration), so the in-memory table and the on-disk
+    fixture can never silently desynchronize."""
+    return hashlib.sha256(f"{seed}:{i}".encode()).digest()
+
+
 def media_payload(seed: int, i: int) -> tuple[bytes, str]:
     """Deterministic (payload, kind) for one media id: bytes derived from a
     sha256 chain — shared by the in-memory synth table and the on-disk
     binary-file fixture (sources/binary.py) so both reproduce byte-for-byte."""
-    h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+    h = media_hash(seed, i)
     size = 256 + (h[0] << 4)
     payload = (h * ((size // len(h)) + 1))[:size]
     return payload, ["image", "audio", "video"][i % 3]
@@ -56,7 +63,7 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
             ids = pdf["id"].to_numpy()
             rows = []
             for i in ids.tolist():  # bounded by batch; payload gen is setup, not hot path
-                h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                h = media_hash(seed, i)
                 payload, kind = media_payload(seed, i)
                 mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
                 rows.append(

@@ -7,9 +7,11 @@ more buckets.  Salt counts come from a cheap row-count pre-pass — the
 frequency-driven analog of the reference's static range partitioning
 (``bids2table/engine.py:285-300``), but data-dependent.
 
-The salt plan is joined back as a broadcast join (tiny dim table), so the
-only shuffle in the encode job is the groupBy itself; AQE skew-join stays on
-as backstop (session.py).
+The salt plan is attached back as a LITERAL ``create_map`` expression (a
+broadcast join of the tiny dim recomputed per action — ~5s/pass, see the
+round-1 perf notes — so do not "restore" one); the only shuffle in the
+encode job is the groupBy itself, with AQE skew-join as backstop
+(session.py).
 """
 
 from __future__ import annotations
@@ -41,6 +43,11 @@ def salt_plan(
     if target_group_rows is None:
         target_group_rows = DEFAULT_GROUP_ROWS
     rows = df.groupBy(pt_col).count().collect()
+    if any(r[pt_col] is None for r in rows):
+        raise ValueError(
+            f"partition column {pt_col!r} contains NULL values — every row "
+            "must carry a non-null partition (fill or filter them first)"
+        )
     total = sum(r["count"] for r in rows)
     target = adaptive_group_rows(
         int(total), df.sparkSession.sparkContext.defaultParallelism, target_group_rows

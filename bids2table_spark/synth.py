@@ -9,7 +9,7 @@ is bit-identical regardless of partitioning, executor count, or run order
 (north-rule determinism: no wall clock, no stateful RNG).
 
 Shape knobs follow FIXTURES.md §A: Zipf-ish turn counts (mean ~20, max 512),
-a hot 1% of conversations carrying ~30% of turns (exercises the salting
+a hot ~3% of conversations carrying ~30% of turns (exercises the salting
 path), ~70%-null skewed ``tool``, templated NL + JSON + unicode text, and
 per-conversation second-granular monotone timestamps.
 """
@@ -77,7 +77,7 @@ def _uniform(conv: np.ndarray, turn: np.ndarray, tag: int, seed: int) -> np.ndar
 
 def turns_for_conv(conv: np.ndarray, seed: int = 42) -> np.ndarray:
     """Turn count per conversation: exponential mean ~20 capped at 512, with
-    a hot 1% (conv % 100 == 0) multiplied ~40x -> ~30% of all turns."""
+    a hot ~3% (conv % 100 < 3) multiplied ~10x -> ~30% of all turns."""
     u = _uniform(conv, np.zeros_like(conv), 0, seed)
     t = 1 + (-19.0 * np.log1p(-u * 0.9999)).astype(np.int64)
     hot = (conv % 100) < 3  # hot ~3% of conversations -> ~30% of turns

@@ -258,3 +258,38 @@ def test_streaming_failed_group_fails_batch(spark, tmp_path):
     q2.awaitTermination(120)
     dec = decode_job(spark, out)
     pd.testing.assert_frame_equal(_sorted(tr), _sorted(dec))
+
+
+def test_cli_flag_beats_config(spark, tmp_path):
+    """An explicit CLI flag must override the config file (fill-only-when-
+    unset precedence, matching input/out/run_id)."""
+    import json as _json
+
+    from bids2table_spark.cli import main
+    from bids2table_spark.manifest import read_manifest
+
+    src = str(tmp_path / "src")
+    synth_transcripts(spark, n_conv=40, seed=42, n_pt=2).write.parquet(src)
+    cfg = {"input": src, "out": str(tmp_path / "enc"), "group_rows": 262144}
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as fh:
+        _json.dump(cfg, fh)
+    rc = main(["encode", "--config", cfg_path, "--group-rows", "128",
+               "--run-id", "cfgtest"])
+    assert rc == 0
+    m = read_manifest(spark, cfg["out"]).toPandas()
+    # 40 convs x ~20 turns at group_rows=512 must salt into >1 group per pt;
+    # the config's 262144 would have produced exactly 1 per pt
+    assert m.groupby("pt")["grp"].nunique().min() > 1
+
+
+def test_cli_verify_without_out(spark, tmp_path):
+    """The documented `verify --input ... --encoded ...` invocation (no
+    --out) must work."""
+    from bids2table_spark.cli import main
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "enc")
+    synth_transcripts(spark, n_conv=30, seed=42, n_pt=2).write.parquet(src)
+    assert main(["encode", "--input", src, "--out", out]) == 0
+    assert main(["verify", "--input", src, "--encoded", out]) == 0

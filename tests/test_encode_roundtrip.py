@@ -166,3 +166,41 @@ def test_zone_pruned_lookup_on_nullable_int_key(spark, tmp_path):
     got = dec[dec["turn_idx"].between(10, 12)]
     # every (conv, turn) in 10..12 must survive pruning: 40 convs x 3 turns
     assert len(got) == 40 * 3
+
+
+def test_large_int64_with_nulls_roundtrip(spark, tmp_path):
+    """int64 values above 2**53 WITH nulls must roundtrip bit-exactly: the
+    Arrow encode path never boxes through float64 (the deleted pandas path
+    silently rounded these)."""
+    import numpy as np
+
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    rng = np.random.default_rng(17)
+    big = rng.integers(2**53, 2**63 - 1, 300, dtype=np.int64)
+    big[::7] = np.iinfo(np.int64).max
+    pdf = pd.DataFrame({
+        "pt": "p0",
+        "conv_id": [f"c{i//30:02d}" for i in range(300)],
+        "turn_idx": [i % 30 for i in range(300)],
+        "big_id": pd.array(
+            [None if i % 11 == 0 else int(big[i]) for i in range(300)],
+            dtype="Int64",
+        ),
+    })
+    df = spark.createDataFrame(
+        pdf, "pt string, conv_id string, turn_idx int, big_id long"
+    )
+    out = str(tmp_path / "bigint")
+    s = encode_job(spark, df, out, run_id="big", target_group_rows=128)
+    assert s["groups_failed"] == 0
+    # compare via collect(): toPandas would itself promote the nullable
+    # int64 to float64 and round >2**53 values in the COMPARISON
+    dec = {
+        (r["conv_id"], r["turn_idx"]): r["big_id"]
+        for r in decode_job(spark, out).collect()
+    }
+    exp = {
+        (r["conv_id"], r["turn_idx"]): r["big_id"] for r in df.collect()
+    }
+    assert dec == exp and len(dec) == 300

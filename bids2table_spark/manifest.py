@@ -401,6 +401,8 @@ def encode_job(
             "enc_bytes", "codecs", "checksum", "status", "committed_at", "error",
         )
     )
+    manifest = manifest.cache()  # one computation serves the write AND the
+    # empty-group gap check below (re-reading mpath cost an extra job/run)
     manifest.write.mode("append").parquet(mpath)
 
     # salt buckets that received ZERO conversations (hash imbalance on a
@@ -411,12 +413,9 @@ def encode_job(
     pending_keys = {(r[pt_col], r["grp"]) for r in pending.collect()}
     got_keys = {
         (r[pt_col], r["grp"])
-        for r in spark.read.parquet(mpath)
-        .filter(F.col("run_id") == run_id)
-        .select(pt_col, "grp")
-        .distinct()
-        .collect()
+        for r in manifest.select(pt_col, "grp").collect()
     }
+    manifest.unpersist()
     empty_keys = sorted(pending_keys - got_keys)
     if empty_keys:
         from .session import local_df

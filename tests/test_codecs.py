@@ -182,3 +182,101 @@ def test_fsst_raw_buffer_roundtrip_hypothesis(buf):
     stream = fm.compress(data, table)
     out = fm.decompress(np.asarray(stream, dtype=np.uint8), table, len(data))
     assert bytes(bytearray(out)) == buf
+
+
+# --------------------------------------- block-container property roundtrips
+
+_ARROW_TYPE = {
+    "long": "int64", "int": "int32", "double": "float64", "float": "float32",
+    "boolean": "bool_", "string": "large_string", "binary": "large_binary",
+}
+
+
+def _block_roundtrip(values, phys):
+    """encode_block_arrow -> decode_block (checksum-verified) == input."""
+    import pyarrow as pa
+
+    from bids2table_spark.blocks import decode_block, encode_block_arrow
+    from bids2table_spark.selector import choose_codec_local
+
+    if phys.startswith("list<"):
+        child = phys[5:-1]
+        t = pa.list_(getattr(pa, _ARROW_TYPE[child])())
+        arr = pa.array(values, type=t)
+    else:
+        arr = pa.array(values, type=getattr(pa, _ARROW_TYPE[phys])())
+    codec = choose_codec_local(arr, phys)
+    row = encode_block_arrow("p", "g", 0, "c", arr, phys, codec)
+    out = decode_block(row, verify=True)
+    assert out.cast(arr.type).to_pylist() == arr.to_pylist(), (phys, codec)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=_I64.min, max_value=_I64.max),
+                  st.integers(-5, 5)),
+        max_size=300,
+    )
+)
+def test_block_long_nulls_roundtrip(xs):
+    _block_roundtrip(xs, "long")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=200))
+def test_block_string_nulls_roundtrip(xs):
+    _block_roundtrip(xs, "string")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        max_size=200,
+    )
+)
+def test_block_double_nulls_roundtrip(xs):
+    import math
+
+    import pyarrow as pa
+
+    from bids2table_spark.blocks import decode_block, encode_block_arrow
+    from bids2table_spark.selector import choose_codec_local
+
+    arr = pa.array(xs, type=pa.float64())
+    codec = choose_codec_local(arr, "double")
+    row = encode_block_arrow("p", "g", 0, "c", arr, "double", codec)
+    got = decode_block(row, verify=True).to_pylist()
+    want = arr.to_pylist()
+    assert len(got) == len(want)
+    for a, b in zip(got, want):  # NaN-aware, bitwise for signed zero
+        if a is None or b is None:
+            assert a is b or (a is None and b is None)
+        else:
+            assert (math.isnan(a) and math.isnan(b)) or (
+                np.float64(a).tobytes() == np.float64(b).tobytes()
+            )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), st.integers(-1000, 1000)), max_size=8),
+        ),
+        max_size=120,
+    )
+)
+def test_block_list_long_roundtrip(xs):
+    _block_roundtrip(xs, "list<long>")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=24)), max_size=150))
+def test_block_binary_nulls_roundtrip(xs):
+    _block_roundtrip(xs, "binary")

@@ -43,4 +43,6 @@ __all__ = [
     "DTYPE_STR",
     "DTYPE_I64",
     "DTYPE_F64",
+    "DTYPE_F32",
+    "DTYPE_BIN",
 ]

@@ -107,9 +107,12 @@ class AlpCodec:
             e, _ = choose_exponent(vals)
             exact, enc = _exact_mask(vals, e)
         exc_idx = np.flatnonzero(~exact)
-        # exceptions: zero the int slot (keeps the FOR frame tight) and carry
-        # the original raw bytes (8 for f64, 4 for f32) positionally
-        enc = np.where(exact, enc, 0)
+        # exceptions: fill the int slot with an IN-RANGE value (the first
+        # exact encoding) and carry the original raw bytes (8 for f64, 4
+        # for f32) positionally — zero-filling dragged the FOR frame min to
+        # 0 and a single NaN widened every inlier in its miniblock ~3x
+        fill = enc[exact][0] if exact.any() else 0
+        enc = np.where(exact, enc, fill)
         sections = [
             bp.encode_i64(enc),
             bp.encode_u64(exc_idx.astype(np.uint64)),

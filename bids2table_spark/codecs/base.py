@@ -95,7 +95,14 @@ def strings_to_buf(values) -> tuple[np.ndarray, bytes]:
         arr.buffers()[1], dtype=np.int64, count=n + 1 + arr.offset
     )[arr.offset :]
     data = arr.buffers()[2]
-    buf = data.to_pybytes()[raw_off[0] : raw_off[-1]] if data is not None else b""
+    # slice the Arrow buffer FIRST: to_pybytes() on the parent buffer would
+    # copy the whole parent (a 1000-row slice of a 10MB array copied 10MB
+    # per call, x3 calls per string block on the encode path)
+    buf = (
+        data.slice(int(raw_off[0]), int(raw_off[-1] - raw_off[0])).to_pybytes()
+        if data is not None
+        else b""
+    )
     return (raw_off - raw_off[0]).copy(), buf
 
 

@@ -88,6 +88,10 @@ def encode_u64(vals: np.ndarray, miniblock: int = MINIBLOCK) -> bytes:
     """
     vals = np.ascontiguousarray(vals, dtype=_U64)
     n = len(vals)
+    if not 1 <= miniblock <= 65535:
+        # exception positions/counts are uint16 — a larger miniblock would
+        # wrap positions modulo 65536 and silently corrupt the payload
+        raise ValueError(f"miniblock must be in [1, 65535], got {miniblock}")
     out = [_HDR.pack(n, miniblock)]
     if n == 0:
         return b"".join(out)
@@ -108,9 +112,8 @@ def encode_u64(vals: np.ndarray, miniblock: int = MINIBLOCK) -> bytes:
         n_excs[m] = len(exc)
         if len(exc):
             exc_pos.append(exc.astype(np.uint16))
-            exc_val.append(rel[exc])
-            rel = rel.copy()
-            rel[exc] = 0
+            exc_val.append(rel[exc])  # fancy index: already a copy
+            rel[exc] = 0  # rel is this iteration's fresh `chunk - lo` temp
         bodies.append(pack_bits(rel, w))
     out.append(mins.tobytes())
     out.append(widths.tobytes())
@@ -200,3 +203,19 @@ def patched_cost(vals: np.ndarray, miniblock: int = MINIBLOCK) -> float:
         w, exc = best_width(chunk - chunk.min())
         total += len(chunk) * w / 8 + len(exc) * 10 + 11
     return total
+
+
+def gcd_deltas(vals: np.ndarray) -> tuple[np.ndarray, int]:
+    """Wraparound-safe consecutive diffs with their GCD extracted.
+
+    THE shared definition for the delta codec (codecs/delta.py), the local
+    selector (selector.py) and the distributed stats pass (stats.py): the
+    size estimates drive codec selection, so estimate and encoding must
+    use identical diff/GCD semantics or selection silently skews.
+    Returns ``(reduced_deltas, g)`` with ``g >= 1``."""
+    d = (vals[1:].view(np.uint64) - vals[:-1].view(np.uint64)).view(np.int64)
+    g = 1
+    if len(d) and not (d == np.iinfo(np.int64).min).any():
+        g = int(np.gcd.reduce(np.abs(d), initial=0))
+        g = g if g > 1 else 1
+    return (d // g if g > 1 else d), g

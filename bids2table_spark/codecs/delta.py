@@ -24,15 +24,12 @@ class DeltaCodec:
         v = np.ascontiguousarray(values, dtype=np.int64)
         if len(v) == 0:
             return {"sections": [0], "first": 0}, b""
-        # wraparound-safe diffs, zigzagged so negatives stay narrow
-        d = (v[1:].view(np.uint64) - v[:-1].view(np.uint64)).view(np.int64)
-        # GCD extraction: second/ms-granular timestamps stored as ns have a
-        # huge common factor in their deltas
-        g = 1
-        if len(d) and not (d == np.iinfo(np.int64).min).any():
-            g = int(np.gcd.reduce(np.abs(d), initial=0))
-            g = g if g > 1 else 1
-        payload = bp.encode_u64(bp.zigzag(d // g if g > 1 else d))
+        # wraparound-safe diffs (GCD-extracted: second/ms-granular
+        # timestamps stored as ns have a huge common delta factor),
+        # zigzagged so negatives stay narrow — shared helper so the
+        # selector's estimate can never drift from the encoding
+        dd, g = bp.gcd_deltas(v)
+        payload = bp.encode_u64(bp.zigzag(dd))
         return {"sections": [len(payload)], "first": int(v[0]), "gcd": g}, payload
 
     def decode(self, meta: dict, payload: bytes, n: int, dtype: str):

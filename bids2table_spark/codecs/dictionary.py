@@ -55,7 +55,7 @@ def decode_uniques(meta: dict, sections: list[bytes], binary: bool = False):
 
     offsets = bp.decode_i64(sections[0])
     if "uniq_fsst" in meta:
-        buf = fsst.decode_bytes(meta["uniq_fsst"], sections[1:4])
+        buf = fsst.decode_bytes(meta["uniq_fsst"], sections[1:])
     else:
         buf = sections[1]
     return buf_to_strings(offsets, buf, binary=binary)

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 
 from .codecs.base import strings_to_buf
-from .codecs.bitpack import bit_width, zigzag
+from .codecs.bitpack import bit_width, gcd_deltas, zigzag
 
 
 def _int_stats(vals: np.ndarray) -> dict:
@@ -39,11 +39,7 @@ def _int_stats(vals: np.ndarray) -> dict:
         vals.view(np.uint64) - np.int64(vmin).view(np.uint64) if n else vals
     )
     if n > 1:
-        d = (vals[1:].view(np.uint64) - vals[:-1].view(np.uint64)).view(np.int64)
-        g = 0
-        if not (d == np.iinfo(np.int64).min).any():
-            g = int(np.gcd.reduce(np.abs(d), initial=0))
-        dd = d // g if g > 1 else d
+        dd, _ = gcd_deltas(vals)
         delta_pb = patched_cost(zigzag(dd))
         runs = int((vals[1:] != vals[:-1]).sum()) + 1
     else:

@@ -25,7 +25,7 @@ import pandas as pd
 
 from .blocks import spark_field_phys
 from .codecs.base import strings_to_buf
-from .codecs.bitpack import bit_width, patched_cost, zigzag
+from .codecs.bitpack import bit_width, gcd_deltas, patched_cost, zigzag
 from .codecs import fsst as fsst_mod
 
 PARTIAL_DDL = (
@@ -83,11 +83,7 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
             vals.view(np.uint64) - np.int64(out["vmin"]).view(np.uint64)
         )
         if len(vals) > 1:
-            d = (vals[1:].view(np.uint64) - vals[:-1].view(np.uint64)).view(np.int64)
-            g = 0
-            if not (d == np.iinfo(np.int64).min).any():
-                g = int(np.gcd.reduce(np.abs(d), initial=0))
-            dd = d // g if g > 1 else d
+            dd, _ = gcd_deltas(vals)
             zz = zigzag(dd)
             out["w_delta"] = bit_width(int(zz.max()))
             out["delta_pbytes"] = patched_cost(zz)

@@ -32,8 +32,36 @@ PARTIAL_DDL = (
     "pt string, salt int, column string, phys string, n long, ndv long, "
     "runs long, vmin long, vmax long, w_delta int, total_bytes long, "
     "hist binary, fsst_sample_ratio double, alp_hit double, w_alp int, "
-    "for_pbytes double, delta_pbytes double"
+    "for_pbytes double, delta_pbytes double, kmv binary"
 )
+
+# KMV (k-minimum-values) distinct sketch: each chunk keeps the K smallest
+# 64-bit value hashes; sketches MERGE by union+truncate, and the merged
+# estimate is (K-1)/normalized_kth_min — so NDV no longer needs its own
+# approx_count_distinct Spark job + materialized shared sample (round-4:
+# the stats pass is now ONE job, and every stat merges).
+_KMV_K = 256
+
+
+def _kmv_sketch(values) -> bytes:
+    """K smallest distinct 64-bit hashes of ``values`` (pandas C-speed hash)."""
+    h = pd.util.hash_pandas_object(
+        values if isinstance(values, pd.Series) else pd.Series(values), index=False
+    ).to_numpy()
+    hu = np.unique(h)  # sorted distinct
+    return hu[:_KMV_K].tobytes()
+
+
+def _kmv_estimate(sketches) -> int:
+    """Merged NDV estimate from per-chunk KMV sketches."""
+    ks = [np.frombuffer(b, dtype=np.uint64) for b in sketches if len(b)]
+    if not ks:
+        return 0
+    hu = np.unique(np.concatenate(ks))
+    if len(hu) < _KMV_K:
+        return int(len(hu))
+    kth = float(hu[_KMV_K - 1]) / float(2**64)
+    return int(round((_KMV_K - 1) / kth))
 
 STATS_COLUMNS = [
     "pt", "column", "phys", "n", "ndv", "runs", "w_for", "w_delta",
@@ -64,6 +92,7 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
         "ndv": 0, "runs": 0, "vmin": 0, "vmax": 0, "w_delta": 0,
         "total_bytes": 0, "hist": b"", "fsst_sample_ratio": 0.0,
         "alp_hit": 0.0, "w_alp": 0, "for_pbytes": 0.0, "delta_pbytes": 0.0,
+        "kmv": b"",
     }
     valid = series.dropna()
     if len(valid) == 0:
@@ -74,6 +103,7 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
         vals, _ = _to_kernel(valid, phys)
         vals = np.asarray(vals, dtype=np.int64)
         out["ndv"] = int(pd.unique(vals).size)
+        out["kmv"] = _kmv_sketch(vals)
         out["vmin"], out["vmax"] = int(vals.min()), int(vals.max())
         # patch-aware byte estimates (mergeable: they are per-chunk payload
         # byte sums, summed in merged_stats) — the chunk-local rebase matches
@@ -104,6 +134,9 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
         d = arr.dictionary_encode()
         codes = d.indices.to_numpy(zero_copy_only=False)
         out["ndv"] = len(d.dictionary)
+        # hash only the chunk's DISTINCT values (the dictionary) — same
+        # sketch, ndv-not-n hashing cost
+        out["kmv"] = _kmv_sketch(d.dictionary.to_pandas())
         out["runs"] = int((codes[1:] != codes[:-1]).sum()) + 1 if len(codes) > 1 else 1
         offsets, buf = strings_to_buf(arr)
         out["total_bytes"] = int(len(buf))
@@ -134,6 +167,7 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
             e, hit = choose_exponent_f32(vals)
             _, enc = _exact_mask_f32(vals[:: max(1, len(vals) // 4096)], e)
         out["alp_hit"] = float(hit)
+        out["kmv"] = _kmv_sketch(valid)
         if len(enc):
             out["w_alp"] = bit_width(int(enc.max()) - int(enc.min()))
     return out
@@ -216,47 +250,16 @@ def merged_stats(
     """Partial pass -> driver-side merge -> the per-(pt, column) stats frame
     ``selector.build_plan`` consumes.
 
-    NDV comes from one extra JVM aggregation (``approx_count_distinct`` —
-    mergeable HLL inside Spark); chunk-local distinct counts do not merge."""
-    from pyspark.sql import functions as F
-
-    from .encode import flatten_struct_columns
-
-    fdf = flatten_struct_columns(df)
-    fields = _stats_fields(fdf, pt_col)
-    # ONE materialized sample shared by both jobs: sampling scans the full
-    # input, so doing it twice (partial + ndv ran independent samples) paid
-    # two full-input passes for 2x fraction of useful rows
-    shared = fdf.sample(fraction=min(1.0, fraction), seed=seed).cache()
-    shared.count()  # materialize once; both jobs then scan only the 5%
-
-    def _partial():
-        return sample_stats(
-            df, pt_col=pt_col, sort_cols=sort_cols, fraction=fraction, seed=seed,
-            salts_per_pt=salts_per_pt, pre_sampled=shared,
-        ).toPandas()
-
-    def _ndv():
-        return (
-            shared.groupBy(pt_col)
-            # default 5% rsd: plenty for codec *ranking*, and Spark's HLL at
-            # rsd 0.02 is ~7x slower per update (measured 35s vs 5s at sf~1)
-            .agg(*[F.approx_count_distinct(F.col(f"`{n}`")).alias(n) for n, _ in fields])
-            .collect()
-        )
-
-    # the two stats jobs are independent — submit both and let the scheduler
-    # interleave them (halves the fixed per-job latency on small inputs)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_partial, f_ndv = ex.submit(_partial), ex.submit(_ndv)
-        partial, ndv_row = f_partial.result(), f_ndv.result()
-    shared.unpersist()
-    # stringify pt to match the partials (per_chunk does str(key[0])):
-    # a non-string pt column would otherwise miss on every lookup and
-    # silently fall back to the far-too-low per-chunk distinct counts
-    ndv = {(str(r[pt_col]), n): int(r[n]) for r in ndv_row for n, _ in fields}
+    ONE Spark job: every stat merges, including NDV — each chunk carries a
+    KMV distinct sketch (k smallest value hashes), sketches union in the
+    driver-side merge, and the estimate is (K-1)/kth_min.  (Rounds 2-3 ran
+    a separate ``approx_count_distinct`` aggregation over a materialized
+    shared sample: 3 jobs where 1 suffices, and a cache the cluster had to
+    hold.)"""
+    partial = sample_stats(
+        df, pt_col=pt_col, sort_cols=sort_cols, fraction=fraction, seed=seed,
+        salts_per_pt=salts_per_pt,
+    ).toPandas()
 
     rows = []
     for (pt, col), g in partial.groupby(["pt", "column"], sort=True):
@@ -279,7 +282,7 @@ def merged_stats(
                 "column": col,
                 "phys": phys,
                 "n": n,
-                "ndv": ndv.get((pt, col), int(g["ndv"].max())),
+                "ndv": _kmv_estimate(g["kmv"]) or int(g["ndv"].max()),
                 "runs": int(g["runs"].sum()),
                 "w_for": w_for,
                 "w_delta": int(g["w_delta"].max()),

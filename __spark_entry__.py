@@ -901,13 +901,14 @@ def q_path_list_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_media_files,
     )
 
-    root = write_media_files(_mat_dir(sf_dir, "media"), n=200, seed=42)
+    n_media, media_seed = 200, 42
+    root = write_media_files(_mat_dir(sf_dir, "media"), n=n_media, seed=media_seed)
     list_path = os.path.join(_mat_dir(sf_dir, "medialist"), "worklist.txt")
     # stamp the worklist with the fixture params: a fixture rebuild (n/seed
     # change deletes stale media_* files) must invalidate the cached list,
     # or it would name absolute paths to files that no longer exist
     stamp_path = list_path + ".stamp"
-    stamp = "200:42"
+    stamp = f"{n_media}:{media_seed}"
     stale = not os.path.isfile(stamp_path) or open(stamp_path).read() != stamp
     if not os.path.isfile(list_path) or stale:
         os.makedirs(os.path.dirname(list_path), exist_ok=True)

@@ -124,6 +124,13 @@ def zone_key_value(v, phys: str | None = None) -> str | None:
         elif phys == "float":
             # image at float64 width either way; widen deterministically
             v = float(np.float32(v))
+        elif phys == "date":
+            # a string/Timestamp bound for a date key would image through the
+            # str/timestamp branch (different alphabet than the encoder's
+            # date image) and silently mis-prune; normalize to datetime.date
+            v = pd.Timestamp(v).date()
+        elif phys == "binary":
+            v = v.encode() if isinstance(v, str) else bytes(v)
         elif phys == "string":
             v = str(v)
     if isinstance(v, str):

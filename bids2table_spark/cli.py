@@ -20,7 +20,10 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(prog="bids2table_spark")
+    # allow_abbrev=False: explicit-flag detection below re-tokenizes argv, so
+    # an abbreviated flag (--group for --group-rows) would parse but register
+    # under the wrong name and let the config file override the user's value
+    p = argparse.ArgumentParser(prog="bids2table_spark", allow_abbrev=False)
     p.add_argument("command", choices=["synth", "encode", "decode", "verify"])
     p.add_argument("--input", help="input table: parquet path or iceberg name")
     p.add_argument("--out", default=None)

@@ -243,18 +243,23 @@ def encode_job(
             )
         df = df.withColumnRenamed(pt_col, "pt")
         pt_col = "pt"
+    fdf = flatten_struct_columns(df)
+    # resolve key_phys on the FLATTENED schema: a nested sort key (e.g.
+    # 'a·b') only materializes post-flatten, and without its phys the
+    # decode-side key_range bound coercion silently disappears while the
+    # encode side images with the post-flatten phys
     try:
-        key_phys = spark_field_phys(df.schema[key_cols[0]].dataType)
-    except Exception:  # key column only materializes post-flatten
+        key_phys = spark_field_phys(fdf.schema[key_cols[0]].dataType)
+    except Exception:
         key_phys = None
     keyinfo = {
         "key_cols": list(key_cols),
         "key_phys": key_phys,
         "pt_col": orig_pt_col,
     }
-    _save_colmeta(out_dir, df, keyinfo)  # before flattening: metadata sits on
+    _save_colmeta(out_dir, df, keyinfo)  # pre-flatten df: metadata sits on
     # the original top-level fields (struct parents included)
-    df = flatten_struct_columns(df)
+    df = fdf
     splan = resolve_salt_plan(
         spark, df, out_dir, scope=group_prefix, pt_col=pt_col,
         target_group_rows=target_group_rows, resume=resume,

@@ -125,6 +125,7 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     max_bucket: int | None = DEFAULT_BAND_CAP,
+    sanity_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the minhash signature.
 
@@ -165,6 +166,36 @@ def minhash_lsh_pairs(
             banded.filter((F.col("_n") > max_bucket) & (F.col("doc_id") != F.col("_rep")))
             .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         )
+    elif sanity_bucket:
+        # uncapped-but-guarded: callers that NEED full bucket recall (the
+        # ngram verify stage) run without star-pair capping, but a bucket
+        # past the sanity bound means O(bucket^2) pairs — fail fast with an
+        # actionable message instead of silently running a quadratic job.
+        # Same (band_idx, band_key) window partitioning the self-join uses,
+        # so the guard adds no new shuffle; the raise lives in a FILTER so
+        # Catalyst cannot project it away.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        small = (
+            banded.withColumn("_n", F.count("*").over(w))
+            .filter(
+                F.when(
+                    F.col("_n") > sanity_bucket,
+                    F.raise_error(
+                        F.format_string(
+                            "LSH bucket band_idx=%s has %s members "
+                            f"(> sanity_bucket={sanity_bucket}): O(n^2) candidate "
+                            "pairs — pass max_bucket to star-cap, or raise "
+                            "sanity_bucket if the quadratic cost is intended",
+                            F.col("band_idx"), F.col("_n"),
+                        )
+                    ),
+                ).otherwise(F.lit(True))
+            )
+            .drop("_n")
+        )
+        star = None
     else:
         small, star = banded, None
     a_side, b_side = small.alias("a"), small.alias("b")
@@ -184,6 +215,7 @@ def ngram_jaccard_pairs(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     max_bucket: int | None = None,
+    sanity_bucket: int | None = 32_768,
 ) -> DataFrame:
     """Exact shingle-Jaccard over LSH candidates (verify stage of the
     classic minhash pipeline), computed on int64 shingle hashes — candidate
@@ -195,8 +227,14 @@ def ngram_jaccard_pairs(
     wrong for this verify stage — a true near-dup pair inside a wide
     bucket where neither doc is the bucket min would be silently dropped.
     Pass a cap explicitly only when a templated corpus makes the quadratic
-    term unaffordable AND star-connected recall is acceptable."""
-    cands = minhash_lsh_pairs(docs, k=k, bands=bands, max_bucket=max_bucket)
+    term unaffordable AND star-connected recall is acceptable.
+    ``sanity_bucket`` (default 32768) fails fast — with an actionable
+    message, at no extra shuffle — if an uncapped bucket would go quadratic
+    past that bound, so the blowup is visible instead of a silent stall."""
+    cands = minhash_lsh_pairs(
+        docs, k=k, bands=bands, max_bucket=max_bucket,
+        sanity_bucket=None if max_bucket else sanity_bucket,
+    )
     P = docs.sparkSession.sparkContext.defaultParallelism
     # repartition before tokenizing: the join shuffles on doc_a/doc_b anyway,
     # this just keeps the interpreted shingle lambdas off a single scan task

@@ -131,6 +131,17 @@ def test_zone_key_phys_coercion():
     assert zone_key_value(t, "timestamp") == zone_key_value(t)
     # no-phys dispatch (decode side) unchanged
     assert zone_key_value(5) == f"{5 + (1 << 63):020d}"
+    # date keys: a string or Timestamp bound must image through the DATE
+    # alphabet (days-since-epoch), not the str/timestamp one
+    import datetime
+
+    d = datetime.date(2024, 3, 1)
+    assert zone_key_value("2024-03-01", "date") == zone_key_value(d)
+    assert zone_key_value(pd.Timestamp("2024-03-01"), "date") == zone_key_value(d)
+    assert zone_key_value("2024-02-01", "date") < zone_key_value(d)
+    # binary keys: str/bytearray bounds normalize to the bytes hex image
+    assert zone_key_value("ab", "binary") == zone_key_value(b"ab")
+    assert zone_key_value(bytearray(b"ab"), "binary") == zone_key_value(b"ab")
 
 
 def test_zone_pruned_lookup_on_nullable_int_key(spark, tmp_path):
@@ -166,6 +177,41 @@ def test_zone_pruned_lookup_on_nullable_int_key(spark, tmp_path):
     got = dec[dec["turn_idx"].between(10, 12)]
     # every (conv, turn) in 10..12 must survive pruning: 40 convs x 3 turns
     assert len(got) == 40 * 3
+
+
+def test_zone_pruned_lookup_on_nested_key(spark, tmp_path):
+    """A NESTED sort key ('meta·k', materializes only post-flatten) must get
+    the same key_range bound coercion as a top-level key: key_phys is
+    resolved on the flattened schema, so integer bounds image through the
+    int alphabet on both sides."""
+    from pyspark.sql import functions as F
+
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    rows = []
+    for c in range(20):
+        for t in range(30):
+            rows.append({"pt": "p0", "conv_id": f"c{c:03d}", "k": c * 100 + t})
+    pdf = pd.DataFrame(rows)
+    df = (
+        spark.createDataFrame(pdf, "pt string, conv_id string, k long")
+        .select("pt", "conv_id", F.struct(F.col("k")).alias("meta"))
+    )
+    out = str(tmp_path / "nk")
+    summary = encode_job(
+        spark, df, out, run_id="nk", target_group_rows=256,
+        key_cols=("meta·k", "conv_id"), conv_col="conv_id",
+    )
+    assert summary["groups_failed"] == 0
+    import json
+
+    with open(f"{out}/colmeta.json") as fh:
+        assert json.load(fh)["__keyinfo__"]["key_phys"] == "long"
+    dec = decode_job(spark, out, key_range=(150, 250)).toPandas()
+    ks = dec["meta"].map(lambda m: m["k"])
+    got = ks[(ks >= 150) & (ks <= 250)]
+    want = sum(1 for c in range(20) for t in range(30) if 150 <= c * 100 + t <= 250)
+    assert len(got) == want  # every matching k survives block pruning
 
 
 def test_large_int64_with_nulls_roundtrip(spark, tmp_path):

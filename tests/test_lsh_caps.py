@@ -131,3 +131,25 @@ def test_embedding_cap_bounds_bucket_width(spark, skewed_embeddings):
     )
     widths = salted.groupBy("tbl", "bucket").count().toPandas()
     assert widths["count"].max() < 200  # the 200-wide hot bucket was split
+
+
+def test_uncapped_sanity_guard_fails_fast(spark, skewed_docs):
+    """ngram verify stage runs uncapped by default — the sanity guard must
+    surface a quadratic bucket as an error, not a silent stall."""
+    from bids2table_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs, _ = skewed_docs  # 400-doc template family: every band bucket ~400
+    with pytest.raises(Exception, match="sanity_bucket"):
+        ngram_jaccard_pairs(docs, sanity_bucket=64).count()
+    # under the bound: same pipeline runs clean and still finds true pairs
+    small = docs.filter("doc_id >= 1000")
+    pairs = ngram_jaccard_pairs(small, threshold=0.3, sanity_bucket=64).toPandas()
+    assert ((pairs.doc_a == 1000) & (pairs.doc_b == 1001)).any()
+
+
+def test_explicit_cap_disables_sanity_guard(spark, skewed_docs):
+    from bids2table_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs, _ = skewed_docs
+    # star-capped: guard off, linear pairs, no raise
+    ngram_jaccard_pairs(docs, max_bucket=32, sanity_bucket=64).count()

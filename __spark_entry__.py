@@ -714,6 +714,59 @@ def q_decode_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decode_filter_nonkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COLUMN zone-map pruned decode (round 5): the sort key is
+    conv_id, but the predicate is a ts RANGE — ``col_ranges`` prunes chunks
+    by each block's own (cmin, cmax) before any payload is decoded, then
+    the exact predicate runs downstream.  The candidate pass reads only
+    metadata columns (payload bytes never scanned — see EXPLAIN.md)."""
+    import shutil
+
+    import pandas as pd
+
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    lo, hi = pd.Timestamp("2024-01-10"), pd.Timestamp("2024-01-12")
+    base = _mat_dir(sf_dir, "colzone")
+    shutil.rmtree(base, ignore_errors=True)
+    tr = transcripts_from_events(spark, sf_dir)
+    encode_job(spark, tr, f"{base}/enc", run_id="colzone", block_rows=4096,
+               target_group_rows=32768)
+    dec = decode_job(spark, f"{base}/enc", col_ranges={"ts": (lo, hi)})
+    return dec.filter(
+        F.col("ts").between(F.lit("2024-01-10"), F.lit("2024-01-12"))
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts", "pt")
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across encode runs (round 5): batch A (base
+    schema) and batch B (adds ``n_chars int``) land in ONE out_dir under
+    separate group prefixes; decode yields the union schema with typed
+    NULLs for A's groups — the reference's null-fill cast
+    (bids2table/schema.py:195-224) re-expressed over the block container
+    via the colmeta column ledger."""
+    import shutil
+
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    base = _mat_dir(sf_dir, "evolve")
+    shutil.rmtree(base, ignore_errors=True)
+    tr = transcripts_from_events(spark, sf_dir)
+    uid = F.regexp_extract("conv_id", r"conv-0*(\d+)", 1).cast("long")
+    batch_a = tr.filter(uid % 2 == 0)
+    batch_b = tr.filter(uid % 2 == 1).withColumn(
+        "n_chars", F.length("text").cast("int")
+    )
+    out = f"{base}/enc"
+    encode_job(spark, batch_a, out, run_id="evA", group_prefix="a:",
+               target_group_rows=32768)
+    encode_job(spark, batch_b, out, run_id="evB", group_prefix="b:",
+               target_group_rows=32768)
+    return decode_job(spark, out).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "pt", "n_chars"
+    )
+
+
 # ------------------------------------------------------- ingestion loaders
 
 
@@ -1144,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_list_ingest": q_path_list_ingest,
         "decode_point_lookup": q_decode_point_lookup,
         "decode_range_numeric": q_decode_range_numeric,
+        "decode_filter_nonkey": q_decode_filter_nonkey,
+        "schema_evolution": q_schema_evolution,
         "csv_ingest": q_csv_ingest,
         "tsv_array_ingest": q_tsv_array_ingest,
         "json_props_parse": q_json_props_parse,
@@ -1448,6 +1503,18 @@ def oracle_sql() -> dict[str, str]:
                      user_id, event_type, value, ts
               FROM events)
             WHERE ekey BETWEEN 100 AND 399
+        """,
+        "decode_filter_nonkey": f"""
+            WITH tr AS ({_TRANSCRIPTS_ORACLE})
+            SELECT conv_id, turn_idx, role, text, tool, ts, pt FROM tr
+            WHERE ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-12'
+        """,
+        "schema_evolution": f"""
+            WITH tr AS ({_TRANSCRIPTS_ORACLE})
+            SELECT conv_id, turn_idx, role, text, tool, ts, pt,
+                   CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 1
+                        THEN length(text)::INTEGER END AS n_chars
+            FROM tr
         """,
         "decode_projection": f"""
             WITH tr AS ({_TRANSCRIPTS_ORACLE})

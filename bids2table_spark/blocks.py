@@ -80,7 +80,7 @@ BLOCKS_SCHEMA_DDL = (
     "pt string, grp string, block_id long, column string, codec string, "
     "phys string, n_rows long, n_nulls long, meta string, payload binary, "
     "orig_bytes long, enc_bytes long, checksum string, "
-    "zmin string, zmax string"
+    "zmin string, zmax string, cmin string, cmax string"
 )
 # zmin/zmax: zone map over the PRIMARY SORT KEY of the chunk this block
 # belongs to (every column block of one chunk shares the key range, the
@@ -90,6 +90,16 @@ BLOCKS_SCHEMA_DDL = (
 # zone_key_value so LEXICOGRAPHIC comparison matches the key's native order
 # for every physical type (plain str() of ints would prune '9' <= '11' as
 # false and silently drop matching blocks).
+#
+# cmin/cmax (round 5): per-COLUMN zone map — min/max of THIS block's own
+# values in the same order-preserving string alphabet, so predicates on
+# non-key columns (role = 'assistant', ts ranges when conv_id is the key)
+# prune chunks too (manifest.decode_job col_ranges).  Long string/binary
+# values are bound-truncated (prefix for cmin, prefix + max-codepoint
+# sentinel for cmax) so the metadata stays tiny; NULL bounds mean
+# "unprunable — keep the chunk".  The reference gets this for free from
+# parquet per-column row-group stats (bids2table/writer.py:102); the custom
+# container stores them explicitly.
 
 
 def zone_key_value(v, phys: str | None = None) -> str | None:
@@ -151,6 +161,64 @@ def zone_key_value(v, phys: str | None = None) -> str | None:
         u = u ^ 0xFFFFFFFFFFFFFFFF if u & (1 << 63) else u | (1 << 63)
         return f"{u:016x}"
     raise TypeError(f"unsupported zone-map key type: {type(v).__name__}")
+
+
+_ZONE_STR_MAX = 64  # chars (string) / bytes (binary) kept of long values
+_ZONE_HI_SENTINEL = "\U0010ffff"  # > any codepoint; UTF-8 order == codepoint order
+
+
+def _zone_fixed_image(v: int) -> str:
+    return f"{int(v) + (1 << 63):020d}"
+
+
+def zone_col_bounds(valid, phys: str) -> tuple[str | None, str | None]:
+    """Per-column zone bounds of one block: order-preserving string images of
+    the valid values' min/max, in the SAME alphabet ``zone_key_value``
+    produces for query bounds of that phys.
+
+    ``valid`` is the kernel-domain view (int64 epoch-ns for timestamps,
+    int64 days for dates, numpy for numerics, Arrow for strings/binary).
+    Long strings are truncated: cmin to a prefix (a prefix only lowers the
+    bound — still a valid lower bound), cmax to prefix + a max-codepoint
+    sentinel (an upper bound for every value sharing the prefix; for binary
+    the hex image gets ``"g"`` > any hex digit).  Returns (None, None) when
+    unboundable (empty block, all-NaN floats) — callers must treat NULL
+    bounds as unprunable."""
+    n = len(valid)
+    if n == 0:
+        return None, None
+    if phys in (PHYS_INT, PHYS_LONG, PHYS_BOOL, PHYS_TS, PHYS_TS_NTZ, PHYS_DATE):
+        v = np.asarray(valid)
+        return _zone_fixed_image(v.min()), _zone_fixed_image(v.max())
+    if phys in (PHYS_DOUBLE, PHYS_FLOAT):
+        v = np.asarray(valid, dtype=np.float64)
+        import warnings
+
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            lo, hi = np.nanmin(v), np.nanmax(v)
+        if lo != lo:  # all-NaN block: no range bound exists
+            return None, None
+        return zone_key_value(float(lo)), zone_key_value(float(hi))
+    if phys in (PHYS_STRING, PHYS_BIN):
+        import pyarrow.compute as pc
+
+        arr = valid if isinstance(valid, pa.Array) else pa.array(valid)
+        mm = pc.min_max(arr)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:
+            return None, None
+        if phys == PHYS_BIN:
+            lo_s, hi_s = bytes(lo).hex(), bytes(hi).hex()
+            sentinel, cut = "g", 2 * _ZONE_STR_MAX
+        else:
+            lo_s, hi_s, sentinel, cut = lo, hi, _ZONE_HI_SENTINEL, _ZONE_STR_MAX
+        if len(lo_s) > cut:
+            lo_s = lo_s[:cut]
+        if len(hi_s) > cut:
+            hi_s = hi_s[:cut] + sentinel
+        return lo_s, hi_s
+    return None, None  # list<T> and anything exotic: unprunable
 
 
 def is_list_phys(phys: str) -> bool:
@@ -317,6 +385,7 @@ def encode_block_arrow(
     n_nulls = int(n - mask.sum())
     codec = get_codec(codec_name)
     meta, payload = codec.encode(valid, logical)
+    cmin, cmax = zone_col_bounds(valid, phys)
     if n_nulls:
         mask_b = np.packbits(mask).tobytes()
         payload = mask_b + payload
@@ -336,6 +405,8 @@ def encode_block_arrow(
         "orig_bytes": _orig_bytes(valid, phys, n),
         "enc_bytes": len(payload),
         "checksum": _canonical_bytes(valid, mask, phys),
+        "cmin": cmin,
+        "cmax": cmax,
     }
 
 
@@ -416,6 +487,10 @@ def _encode_list_block(
         "orig_bytes": 8 * n + _orig_bytes(child_valid, child_phys, int(len(child_mask))),
         "enc_bytes": len(payload),
         "checksum": _list_canonical(mask, offsets, child_valid, child_mask, child_phys),
+        # range predicates over a list column have no single-value order;
+        # NULL bounds = unprunable (decode_job col_ranges keeps the chunk)
+        "cmin": None,
+        "cmax": None,
     }
 
 

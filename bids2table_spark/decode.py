@@ -145,9 +145,30 @@ def decode_table(blocks_df, columns: list[tuple[str, str]] | None = None, verify
         for row in rows:
             out[row["column"]] = decode_block(row, verify=verify)
 
-        def assemble(node) -> pa.Array:
+        def node_type(node) -> pa.DataType:
             if node["kind"] == "leaf":
+                return _arrow_target(node["phys"])
+            if node["kind"] == "struct":
+                fields = [(k, node_type(c)) for k, c in node["children"].items()]
+                return pa.struct(fields)
+            fields = [
+                (k, _arrow_target(list_child_phys(c["phys"])))
+                for k, c in node["children"].items()
+            ]
+            return pa.list_(pa.struct(fields))
+
+        def assemble(node) -> pa.Array:
+            # SCHEMA EVOLUTION null-fill: a group encoded before a column
+            # was added has no block for it — emit typed NULLs instead of
+            # KeyError (reference null-fill cast, bids2table/schema.py:
+            # 195-224).  A missing __defined__ leaf means the whole
+            # struct/list column post-dates this group.
+            if node["kind"] == "leaf":
+                if node["name"] not in out:
+                    return pa.nulls(n, _arrow_target(node["phys"]))
                 return _cast_for_spark(out[node["name"]], node["phys"])
+            if node["defined"] not in out:
+                return pa.nulls(n, node_type(node))
             if node["kind"] == "struct":
                 defined = out[node["defined"]].cast(pa.bool_())
                 children = [assemble(c) for c in node["children"].values()]
@@ -166,6 +187,8 @@ def decode_table(blocks_df, columns: list[tuple[str, str]] | None = None, verify
             elem_defined = pc.list_flatten(ld).cast(pa.bool_())
             children = [
                 _cast_for_spark(pc.list_flatten(out[c["name"]]), list_child_phys(c["phys"]))
+                if c["name"] in out
+                else pa.nulls(len(elem_defined), _arrow_target(list_child_phys(c["phys"])))
                 for c in node["children"].values()
             ]
             struct = pa.StructArray.from_arrays(

@@ -50,6 +50,7 @@ def error_row(pt: str, grp: str, exc: Exception) -> dict:
         "codec": ERROR_CODEC, "phys": "", "n_rows": 0, "n_nulls": 0,
         "meta": json.dumps({"error": msg}), "payload": b"", "orig_bytes": 0,
         "enc_bytes": 0, "checksum": "", "zmin": None, "zmax": None,
+        "cmin": None, "cmax": None,
     }
 
 
@@ -138,6 +139,7 @@ _BLOCKS_ARROW_FIELDS = [
     ("meta", "string"), ("payload", "binary"), ("orig_bytes", "int64"),
     ("enc_bytes", "int64"), ("checksum", "string"),
     ("zmin", "string"), ("zmax", "string"),
+    ("cmin", "string"), ("cmax", "string"),
 ]
 
 

@@ -56,7 +56,12 @@ def _colmeta_path(out_dir: str) -> str:
     return f"{out_dir.rstrip('/')}/colmeta.json"
 
 
-def _save_colmeta(out_dir: str, df: DataFrame, keyinfo: dict | None = None) -> None:
+def _save_colmeta(
+    out_dir: str,
+    df: DataFrame,
+    keyinfo: dict | None = None,
+    columns: dict[str, str] | None = None,
+) -> None:
     """Persist per-column Spark field metadata (reference carries per-column
     string metadata through concat/prefix, bids2table/schema.py:277-284; the
     Spark-native channel is StructField.metadata).  Driver-side JSON sidecar —
@@ -66,10 +71,34 @@ def _save_colmeta(out_dir: str, df: DataFrame, keyinfo: dict | None = None) -> N
     ``keyinfo`` (stored under the reserved ``__keyinfo__`` name, never a
     valid column) records the sort-key column + phys type and the caller's
     original pt column name so decode can coerce ``key_range`` bounds to
-    the key's physical type and restore the pt column name."""
+    the key's physical type and restore the pt column name.
+
+    ``columns`` ({flattened_name: phys}) is recorded under ``__columns__``
+    as the out_dir's encoded COLUMN SET — the schema-evolution ledger.  It
+    merges with any previously recorded set (earlier columns keep their
+    col_idx; genuinely new ones are appended), so encode_job can detect a
+    grown input schema on resume and decode_job can coerce ``col_ranges``
+    bounds to each column's physical type (reference analog: the
+    IncrementalTable accepts per-handler schema growth and cast_to_schema
+    null-fills missing fields, bids2table/table.py:34-50 +
+    schema.py:195-224)."""
     import json
 
-    meta = {f.name: f.metadata for f in df.schema.fields if f.metadata}
+    existing = _load_colmeta(out_dir)
+    existing.pop("__keyinfo__", None)
+    prev_cols = existing.pop("__columns__", None) or {}
+    meta = dict(existing)
+    meta.update({f.name: f.metadata for f in df.schema.fields if f.metadata})
+    if columns is not None:
+        merged = dict(prev_cols)
+        nxt = max((int(c["col_idx"]) for c in merged.values()), default=-1) + 1
+        for name, phys in columns.items():
+            if name not in merged:
+                merged[name] = {"phys": phys, "col_idx": nxt}
+                nxt += 1
+        meta["__columns__"] = merged
+    elif prev_cols:
+        meta["__columns__"] = prev_cols
     if keyinfo:
         meta["__keyinfo__"] = keyinfo
     if not meta:
@@ -205,6 +234,8 @@ def encode_job(
     max_groups: int | None = None,
     group_prefix: str = "",
     verify_growth: bool = True,
+    on_new_columns: str = "error",
+    max_group_universe: int = 4_000_000,
 ) -> dict:
     """Encode ``df`` into out_dir, skipping already-committed groups.
 
@@ -222,7 +253,20 @@ def encode_job(
     input, so callers with an immutability guarantee can disable it.
     Appends belong in a fresh ``group_prefix``/``out_dir`` (the streaming
     path's per-epoch prefix is exactly this).
+
+    SCHEMA EVOLUTION (``on_new_columns``): the out_dir's colmeta sidecar
+    records the encoded column set; when a resume's input carries columns
+    absent from it AND committed groups are being skipped, those groups
+    would silently never encode the new columns.  ``"error"`` (default)
+    raises — the round-4 silent-skip bug made loud; ``"allow"`` proceeds:
+    new groups encode the full schema, committed groups keep their old
+    column set, and ``decode_job`` null-fills the missing columns per group
+    (reference null-fill cast: bids2table/schema.py:195-224).  Appends via
+    a fresh ``group_prefix`` with a wider schema never error (no committed
+    group is being skipped) — that is the supported mixed-schema path.
     """
+    if on_new_columns not in ("error", "allow"):
+        raise ValueError(f"on_new_columns must be 'error' or 'allow', got {on_new_columns!r}")
     run_id = run_id or uuid.uuid4().hex[:12]
     bpath, mpath, _ = _paths(out_dir)
     run_path = f"{bpath}/run_id={run_id}"
@@ -257,7 +301,14 @@ def encode_job(
         "key_phys": key_phys,
         "pt_col": orig_pt_col,
     }
-    _save_colmeta(out_dir, df, keyinfo)  # pre-flatten df: metadata sits on
+    cols_now = {
+        f.name: spark_field_phys(f.dataType)
+        for f in fdf.schema.fields
+        if f.name != pt_col
+    }
+    prev_cols = (_load_colmeta(out_dir).get("__columns__") or {}) if resume else {}
+    new_cols = sorted(c for c in cols_now if prev_cols and c not in prev_cols)
+    pre_flat_df = df  # colmeta is saved post-growth-check: metadata sits on
     # the original top-level fields (struct parents included)
     df = fdf
     splan = resolve_salt_plan(
@@ -269,13 +320,24 @@ def encode_job(
     )
 
     # the group universe comes from the (tiny) salt plan — no extra pass over
-    # the data; (pt, grp) membership is a pure function of conv_id + plan
+    # the data; (pt, grp) membership is a pure function of conv_id + plan.
+    # DRIVER-MEMORY BOUND: the universe lives on the driver as one (pt, grp)
+    # tuple per group — ~50 B each, so the default cap of 4M groups is a few
+    # hundred MB of heap (the 10^12-turn / 256k-rows-per-group regime).  A
+    # bigger table should raise target_group_rows, not the cap: group count,
+    # not row count, is what the driver holds.
+    n_total = sum(splan.values())
+    if n_total > max_group_universe:
+        raise RuntimeError(
+            f"group universe {n_total} exceeds max_group_universe="
+            f"{max_group_universe}; raise target_group_rows (fewer, larger "
+            "groups) or partition the input into separate out_dirs"
+        )
     all_groups = [
         (pt, f"{group_prefix}g{s:04d}")
         for pt, n in sorted(splan.items())
         for s in range(n)
     ]
-    n_total = len(all_groups)
     from .session import local_df
 
     pending = local_df(spark, all_groups, f"{pt_col} string, grp string")
@@ -287,6 +349,16 @@ def encode_job(
     if done is not None:
         pending = pending.join(done, on=[pt_col, "grp"], how="left_anti")
         n_pending = pending.count()
+    if new_cols and n_pending < n_total and on_new_columns == "error":
+        raise RuntimeError(
+            "input schema grew since the committed run — resuming would "
+            f"commit groups WITHOUT the new column(s) {new_cols} for the "
+            f"{n_total - n_pending} already-committed group(s), which decode "
+            "would then null-fill. Pass on_new_columns='allow' to accept "
+            "that (mixed-schema table, nulls for old groups), or re-encode "
+            "into a fresh out_dir to backfill."
+        )
+    _save_colmeta(out_dir, pre_flat_df, keyinfo, columns=cols_now)
     if done is not None and n_pending < n_total and verify_growth:
         latest = _latest_committed(mdf, pt_col).select(pt_col, "grp", "n_rows")
         in_counts = (
@@ -413,37 +485,30 @@ def encode_job(
     # salt buckets that received ZERO conversations (hash imbalance on a
     # small n_salts) produce no blocks and hence no manifest row above —
     # without an explicit committed row they stay pending forever and every
-    # resume re-runs the whole encode. pending is driver-sized (it started
-    # as a python list), so the gap set is computed locally.
-    pending_keys = {(r[pt_col], r["grp"]) for r in pending.collect()}
-    got_keys = {
-        (r[pt_col], r["grp"])
-        for r in manifest.select(pt_col, "grp").collect()
-    }
-    manifest.unpersist()
-    empty_keys = sorted(pending_keys - got_keys)
-    if empty_keys:
-        from .session import local_df
-
-        empties = (
-            local_df(spark, list(empty_keys), f"{pt_col} string, grp string")
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("n_blocks", F.lit(0).cast("long"))
-            .withColumn("n_rows", F.lit(0).cast("long"))
-            .withColumn("orig_bytes", F.lit(0).cast("long"))
-            .withColumn("enc_bytes", F.lit(0).cast("long"))
-            .withColumn("codecs", F.lit("[]"))
-            .withColumn("checksum", F.lit(""))
-            .withColumn("status", F.lit("committed"))
-            .withColumn("committed_at", F.current_timestamp())
-            .withColumn("error", F.lit(None).cast("string"))
-            .select(
-                pt_col, "grp", "run_id", "n_blocks", "n_rows", "orig_bytes",
-                "enc_bytes", "codecs", "checksum", "status", "committed_at",
-                "error",
-            )
+    # resume re-runs the whole encode.  DISTRIBUTED (round 5): the gap set
+    # is a left anti-join of pending against this run's manifest rows —
+    # written straight out, no `.collect()` of group keys back to the driver
+    # (the cached manifest frame serves both this and the write above).
+    empties = (
+        pending.join(manifest.select(pt_col, "grp"), on=[pt_col, "grp"], how="left_anti")
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("n_blocks", F.lit(0).cast("long"))
+        .withColumn("n_rows", F.lit(0).cast("long"))
+        .withColumn("orig_bytes", F.lit(0).cast("long"))
+        .withColumn("enc_bytes", F.lit(0).cast("long"))
+        .withColumn("codecs", F.lit("[]"))
+        .withColumn("checksum", F.lit(""))
+        .withColumn("status", F.lit("committed"))
+        .withColumn("committed_at", F.current_timestamp())
+        .withColumn("error", F.lit(None).cast("string"))
+        .select(
+            pt_col, "grp", "run_id", "n_blocks", "n_rows", "orig_bytes",
+            "enc_bytes", "codecs", "checksum", "status", "committed_at",
+            "error",
         )
-        empties.write.mode("append").parquet(mpath)
+    )
+    empties.write.mode("append").parquet(mpath)
+    manifest.unpersist()
 
     m = spark.read.parquet(mpath).filter(F.col("run_id") == run_id)
     # summary over the LATEST row per (pt, grp) within this run: a replayed
@@ -497,6 +562,7 @@ def decode_job(
     columns: list[str] | None = None,
     pts: list[str] | None = None,
     key_range: tuple[str, str] | None = None,
+    col_ranges: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Decode the committed state of out_dir back to the original table.
 
@@ -511,10 +577,57 @@ def decode_job(
     string columns, so the range predicate reaches parquet row-group
     stats): point lookups / range scans decode only overlapping blocks.
     The result still contains whole overlapping blocks — apply the exact
-    row predicate downstream."""
+    row predicate downstream.
+
+    ``col_ranges={column: (lo, hi), ...}`` prunes by the per-COLUMN zone
+    maps (round 5): a chunk is decoded only if EVERY constrained column's
+    block may overlap its range.  The candidate pass scans only the tiny
+    metadata columns (pt, grp, block_id, column, cmin, cmax) — parquet
+    column pruning keeps payload bytes unread — and the surviving chunk
+    keys semi-join the full scan.  Bounds are coerced to each column's
+    recorded physical type via the colmeta ledger; blocks with NULL bounds
+    (list columns, all-NaN floats, pre-round-5 dirs) are never pruned.
+    Like ``key_range``, whole overlapping chunks are returned — apply the
+    exact row predicate downstream."""
     blocks = committed_blocks(spark, out_dir)
     if pts is not None:
         blocks = blocks.filter(F.col("pt").isin(list(pts)))
+    colmeta = _load_colmeta(out_dir)
+    keyinfo = colmeta.pop("__keyinfo__", None) or {}
+    colinfo = colmeta.pop("__columns__", None) or {}
+    if col_ranges:
+        from .blocks import zone_key_value
+
+        # chunk-level pruning BEFORE the column projection: the constrained
+        # column's block must vote even when it is not being decoded
+        aggs, conds = [], []
+        for idx, (cname, (lo, hi)) in enumerate(sorted(col_ranges.items())):
+            phys = (colinfo.get(cname) or {}).get("phys")
+            lo_i, hi_i = zone_key_value(lo, phys), zone_key_value(hi, phys)
+            overlap = (
+                F.when(F.col("cmin").isNull() | F.col("cmax").isNull(), 1)
+                .when((F.col("cmax") >= F.lit(lo_i)) & (F.col("cmin") <= F.lit(hi_i)), 1)
+                .otherwise(0)
+            )
+            aggs.append(
+                F.max(F.when(F.col("column") == cname, overlap)).alias(f"_k{idx}")
+            )
+            # a chunk with NO block for the column (schema evolution) is
+            # kept — its rows decode to NULL there, and NULL never matches
+            # a range predicate, but pruning decisions stay conservative
+            conds.append(F.coalesce(F.col(f"_k{idx}"), F.lit(1)) == 1)
+        keep = (
+            blocks.select("pt", "grp", "block_id", "column", "cmin", "cmax")
+            .groupBy("pt", "grp", "block_id")
+            .agg(*aggs)
+        )
+        for c in conds:
+            keep = keep.filter(c)
+        blocks = blocks.join(
+            keep.select("pt", "grp", "block_id"),
+            on=["pt", "grp", "block_id"],
+            how="left_semi",
+        )
     if columns is not None:
         want = set(columns)
         for c in columns:  # a nested leaf needs every ancestor's validity leaf
@@ -525,8 +638,23 @@ def decode_job(
         for c in columns:  # struct parents: pull in every parent·field block
             wanted = wanted | F.col("column").startswith(f"{c}·")
         blocks = blocks.filter(wanted)
-    colmeta = _load_colmeta(out_dir)
-    keyinfo = colmeta.pop("__keyinfo__", None) or {}
+    # the colmeta ledger fixes the output column list + order driver-side —
+    # no extra distinct-over-blocks Spark job, and groups encoded before a
+    # column existed (schema evolution) still yield the full union schema
+    dec_cols = None
+    if colinfo:
+        ordered = [
+            (nm, v["phys"])
+            for nm, v in sorted(colinfo.items(), key=lambda kv: int(kv[1]["col_idx"]))
+        ]
+        if columns is None:
+            dec_cols = ordered
+        else:
+            dec_cols = [
+                (nm, ph)
+                for nm, ph in ordered
+                if nm in want or any(nm.startswith(f"{c}·") for c in columns)
+            ]
     if key_range is not None:
         from .blocks import zone_key_value
 
@@ -538,7 +666,7 @@ def decode_job(
         key_phys = keyinfo.get("key_phys")
         lo, hi = (zone_key_value(v, key_phys) for v in key_range)
         blocks = blocks.filter((F.col("zmax") >= lo) & (F.col("zmin") <= hi))
-    out = decode_table(blocks, verify=verify)
+    out = decode_table(blocks, columns=dec_cols, verify=verify)
     # reattach per-column field metadata captured at encode time
     if colmeta:
         present = set(out.columns)

@@ -91,56 +91,100 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def fingerprint_winnow(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
+def fingerprint_winnow(
+    docs: DataFrame, k: int = 8, w: int = 16, chunk_chars: int = 1 << 20
+) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
     every character k-gram, keep the minimum of each w-length window of
     consecutive positions, emit the DISTINCT selected hashes per doc.
 
     Guarantees at least one shared fingerprint for any shared substring of
     length >= w + k - 1 — the property the single-min ``fingerprint`` op
-    lacks.  Shape: repartition by doc_id (parallelize the explode off a
-    single-file scan; reused by the window+distinct, so one shuffle), then
-    posexplode positions -> one md5 per k-gram -> doc-partitioned sliding
-    MIN window -> distinct.  Output: (doc_id, fp) fingerprint-set rows."""
+    lacks.
+
+    SCALE SHAPE (round-5 fix for the carried whole-doc-window straggler): a
+    document's k-grams are NOT all windowed in one task.  The text is split
+    into overlapping character chunks of ``chunk_chars`` — each chunk carries
+    ``w + k - 2`` extra trailing chars, exactly enough that every full
+    w-window whose start position falls in the chunk's own range is computed
+    locally — and the sliding MIN window partitions by (doc_id, chunk), so a
+    book-length doc fans out over ~len/chunk_chars tasks instead of pinning
+    one.  Chunk own-ranges are disjoint, so no window is emitted twice; the
+    result is identical to the single-window formulation (pinned by
+    tests/test_operators.py).
+
+    Window-start math (1-based): gram i covers chars [i, i+k-1]; the full
+    window at start i needs grams i..i+w-1, i.e. chars up to i+w+k-2.  A
+    chunk starting at s spans chars [s, s+chunk_chars+w+k-3], so every
+    start i in [s, s+chunk_chars-1] is locally computable.  Global full
+    windows end at i = m-w+1 where m = L-k+1 grams; docs with m < w keep
+    their whole-doc min (they fit in the first chunk by construction).
+
+    Output: (doc_id, fp) fingerprint-set rows."""
     P = docs.sparkSession.sparkContext.defaultParallelism
     from pyspark.sql import Window
 
-    grams = docs.repartition(P, "doc_id").select(
+    C = int(chunk_chars)
+    # chunk starts: 1, 1+C, 1+2C, … ≤ max(L-k+1, 1) — a chunk whose own
+    # range holds no gram start would emit nothing; cap the sequence there
+    chunks = docs.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"case when length(text) >= {k} then "
-                f"sequence(1, length(text) - {k - 1}) else array(1) end"
-            )
-        ).alias("_", "i"),
-        F.col("text"),
+        "text",
+        F.length("text").alias("_len"),
+        F.explode(
+            F.expr(f"sequence(1, greatest(length(text) - {k - 1}, 1), {C})")
+        ).alias("s"),
     ).select(
         "doc_id",
-        "i",
+        F.col("s"),
+        # m: GLOBAL gram count (short docs: one whole-text gram, matching
+        # the single-window formulation's array(1) branch)
+        F.greatest(F.col("_len") - (k - 1), F.lit(1)).alias("m"),
+        F.expr(f"substring(text, s, {C} + {w + k - 2})").alias("ctext"),
+    )
+    grams = chunks.repartition(P, "doc_id", "s").select(
+        "doc_id",
+        "s",
+        "m",
+        F.posexplode(
+            F.expr(
+                f"case when length(ctext) >= {k} then "
+                f"sequence(1, length(ctext) - {k - 1}) else array(1) end"
+            )
+        ).alias("_", "j"),
+        F.col("ctext"),
+    ).select(
+        "doc_id",
+        "s",
+        "m",
+        "j",
         F.conv(
-            F.substring(F.md5(F.expr(f"substring(text, i, {k})")), 1, 8), 16, 10
+            F.substring(F.md5(F.expr(f"substring(ctext, j, {k})")), 1, 8), 16, 10
         ).cast("long").alias("h"),
     )
     win = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
+        Window.partitionBy("doc_id", "s")
+        .orderBy("j")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    # FULL windows only: the truncated trailing suffix windows would always
-    # fingerprint the doc's last k-gram (any two docs sharing a final k
-    # chars got a guaranteed shared fingerprint — below the w+k-1 guarantee
-    # threshold).  Docs with fewer than w grams keep their whole-doc min
-    # (the i=1 window covers all grams there).
-    wdoc = Window.partitionBy("doc_id")
     sel = grams.select(
-        "doc_id", "i",
+        "doc_id", "s", "m", "j",
         F.min("h").over(win).alias("fp"),
-        F.count("*").over(wdoc).alias("m"),
     )
+    i = F.col("s") + F.col("j") - 1  # global gram start position
+    # FULL windows only: truncated trailing windows would always fingerprint
+    # the doc's last k-gram (a guaranteed shared print below the w+k-1
+    # guarantee threshold).  Emit a window iff its global start is (a) in
+    # this chunk's own range (disjoint across chunks — no double emit) and
+    # (b) a full global window; docs with fewer than w grams keep their
+    # whole-doc min via the first chunk's i=1 window.
     return (
         sel.filter(
-            (F.col("i") <= F.col("m") - (w - 1))
-            | ((F.col("m") < w) & (F.col("i") == 1))
+            (F.col("j") <= C)
+            & (
+                (i <= F.col("m") - (w - 1))
+                | ((F.col("m") < w) & (i == 1))
+            )
         )
         .select("doc_id", "fp")
         .distinct()

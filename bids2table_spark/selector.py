@@ -49,20 +49,82 @@ def _int_stats(vals: np.ndarray) -> dict:
             "runs": runs, "ndv": ndv}
 
 
+# --------------------------------------------------------------------------
+# Shared cost models — BOTH selector tiers (the global build_plan over the
+# stats frame and the per-block choose_codec_local) route through these, so
+# the two tiers cannot drift: identical stats always yield identical codec
+# choices (pinned by tests/test_selector.py::test_tiers_agree_on_same_stats).
+
+
+def int_cost_model(
+    n: int,
+    w_for: int,
+    runs: int,
+    ndv: int,
+    for_pbytes: float = 0.0,
+    delta_pbytes: float = 0.0,
+    w_delta: int = 0,
+) -> dict[str, float]:
+    """Estimated block bytes per int-family codec.  ``for_pbytes`` /
+    ``delta_pbytes`` are patch-aware payload byte sums (codecs.bitpack
+    .patched_cost); when absent (0) the global-width fallback applies."""
+    w_runs = bit_width(n)
+    ndv = max(int(ndv), 1)
+    return {
+        "plain": 8.0 * n,
+        "forbp": (for_pbytes or w_for * n / 8) + 32,
+        "delta": (delta_pbytes or w_delta * n / 8) + 48,
+        "rle": runs * (w_for + w_runs) / 8 + 64,
+        "dict": ndv * 8 + bit_width(ndv - 1) * n / 8 + 64,
+    }
+
+
+def str_cost_model(
+    n: int, ndv: int, runs: int, total_bytes: float, fsst_ratio: float
+) -> dict[str, float]:
+    """Estimated block bytes per string/binary codec.  ``fsst_ratio`` is the
+    expected compressed/original ratio (sampled trial or entropy-derived);
+    dict/rle cascade their uniques blob through FSST, so their dictionary
+    cost shrinks by the same ratio."""
+    code_bits = bit_width(max(int(ndv) - 1, 0))
+    uniq_bytes = total_bytes * ndv / n * min(1.0, fsst_ratio) + 8 * ndv
+    return {
+        "plain": total_bytes + 2.0 * n,
+        "dict": uniq_bytes + code_bits * n / 8 + 64,
+        "rle": uniq_bytes + runs * (code_bits + bit_width(n)) / 8 + 64,
+        "fsst": total_bytes * fsst_ratio + 2.0 * n + 2048,
+    }
+
+
+def float_cost_model(n: int, w_alp: int, alp_hit: float, width: int) -> dict[str, float]:
+    """plain vs ALP for float32/float64 (``width`` = 4 or 8 bytes/value)."""
+    n_exc = (1.0 - alp_hit) * n
+    return {
+        "plain": float(width) * n,
+        "alp": w_alp * n / 8 + n_exc * (width + 4) + 64,
+    }
+
+
+def entropy_fsst_ratio(entropy_bits: float) -> float:
+    """FSST ratio estimate from byte entropy: near-random bytes (8 bits) ->
+    ~1.0, low-entropy text (~4.2 bits) -> ~0.35; floor at 0.25."""
+    return max(0.25, min(1.05, entropy_bits / 8.0 * 1.6 - 0.35))
+
+
+def pick(est: dict[str, float]) -> str:
+    """Deterministic argmin (ties break alphabetically)."""
+    return min(est.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
+
 def estimate_int_sizes(vals: np.ndarray) -> dict[str, float]:
     s = _int_stats(np.ascontiguousarray(vals, dtype=np.int64))
     n = s["n"]
     if n == 0:
         return {"forbp": 0.0}
-    w_runs = bit_width(n)
-    out = {
-        "plain": 8.0 * n,
-        "forbp": s["for_pb"] + 32,
-        "delta": s["delta_pb"] + 48,
-        "rle": s["runs"] * (s["w_for"] + w_runs) / 8 + 64,
-        "dict": s["ndv"] * 8 + bit_width(max(s["ndv"] - 1, 0)) * n / 8 + 64,
-    }
-    return out
+    return int_cost_model(
+        n, s["w_for"], s["runs"], s["ndv"],
+        for_pbytes=s["for_pb"], delta_pbytes=s["delta_pb"],
+    )
 
 
 def estimate_f64_sizes(vals: np.ndarray) -> dict[str, float]:
@@ -77,11 +139,7 @@ def estimate_f64_sizes(vals: np.ndarray) -> dict[str, float]:
     sample = vals[:: max(1, n // 1024)]
     _, enc = _exact_mask(sample, e)
     w = bit_width(int(enc.max()) - int(enc.min())) if len(enc) else 0
-    n_exc = (1.0 - hit) * n
-    return {
-        "plain": 8.0 * n,
-        "alp": w * n / 8 + n_exc * 12 + 64,
-    }
+    return float_cost_model(n, w, hit, 8)
 
 
 def estimate_f32_sizes(vals: np.ndarray) -> dict[str, float]:
@@ -94,11 +152,7 @@ def estimate_f32_sizes(vals: np.ndarray) -> dict[str, float]:
     sample = vals[:: max(1, n // 1024)]
     _, enc = _exact_mask_f32(sample, e)
     w = bit_width(int(enc.max()) - int(enc.min())) if len(enc) else 0
-    n_exc = (1.0 - hit) * n
-    return {
-        "plain": 4.0 * n,
-        "alp": w * n / 8 + n_exc * 8 + 64,
-    }
+    return float_cost_model(n, w, hit, 4)
 
 
 def byte_entropy(buf: np.ndarray) -> float:
@@ -138,22 +192,8 @@ def estimate_str_sizes(series) -> dict[str, float]:
     runs = int((codes[1:] != codes[:-1]).sum()) + 1 if n > 1 else 1
     offsets, buf = strings_to_buf(arr)
     total = float(len(buf))
-    dict_bytes = total * ndv / max(n, 1) + 8 * ndv  # unique payload + offsets
-    code_bits = bit_width(max(ndv - 1, 0))
     ent = byte_entropy(np.frombuffer(buf[:65536], dtype=np.uint8))
-    # FSST ratio estimate from entropy: near-random bytes (8 bits) -> ~1.0,
-    # low-entropy text (~4.2 bits) -> ~0.35; floor at 0.25
-    fsst_ratio = max(0.25, min(1.05, ent / 8.0 * 1.6 - 0.35))
-    # dict/rle cascade the uniques blob through FSST, so their dictionary
-    # cost shrinks by the same ratio
-    uniq_bytes = total * ndv / max(n, 1) * min(1.0, fsst_ratio) + 8 * ndv
-    out = {
-        "plain": total + 2.0 * n,
-        "dict": uniq_bytes + code_bits * n / 8 + 64,
-        "rle": uniq_bytes + runs * (code_bits + bit_width(n)) / 8 + 64,
-        "fsst": total * fsst_ratio + 2.0 * n + 2048,
-    }
-    return out
+    return str_cost_model(n, ndv, runs, total, entropy_fsst_ratio(ent))
 
 
 def choose_codec_local(series, phys: str) -> str:
@@ -209,15 +249,23 @@ def choose_codec_local(series, phys: str) -> str:
         est = estimate_f32_sizes(vals)
     else:
         return "plain"
-    return min(est.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    return pick(est)
 
 
 def build_plan(stats_pdf: pd.DataFrame) -> dict[str, str]:
     """Global plan from the stats pass: {"pt/column": codec}.
 
     ``stats_pdf`` columns: pt, column, phys, n, ndv, runs, w_for, w_delta,
-    total_bytes, entropy, fsst_sample_ratio (see stats.py).
+    total_bytes, entropy, fsst_sample_ratio (see stats.py).  A ``list<T>``
+    phys selects for the flattened CHILD values (the plan codec names the
+    child kernel; offsets are always delta-packed — blocks._encode_list_block).
+
+    Routes through the SAME cost-model functions as choose_codec_local
+    (int_cost_model / str_cost_model / float_cost_model), so the two tiers
+    rank codecs identically given the same statistics.
     """
+    from .blocks import is_list_phys, list_child_phys
+
     def _num(r, key) -> float:
         v = r.get(key)
         try:
@@ -230,47 +278,36 @@ def build_plan(stats_pdf: pd.DataFrame) -> dict[str, str]:
     for _, r in stats_pdf.iterrows():
         n = max(int(r["n"]), 1)
         phys = r["phys"]
+        if is_list_phys(phys):
+            phys = list_child_phys(phys)
         if phys in ("int", "long", "timestamp", "timestamp_ntz", "boolean", "date"):
-            w_runs = bit_width(n)
             # patch-aware byte sums from the stats pass (stats._col_partial
             # via codecs.bitpack.patched_cost) keep the global plan's
             # FOR/delta ranking consistent with choose_codec_local on
-            # outlier-bearing columns; older stats frames without the
-            # columns fall back to the global-width estimate
-            for_pb, delta_pb = _num(r, "for_pbytes"), _num(r, "delta_pbytes")
-            est = {
-                "plain": 8.0 * n,
-                "forbp": (for_pb or r["w_for"] * n / 8) + 32,
-                "delta": (delta_pb or r["w_delta"] * n / 8) + 48,
-                "rle": r["runs"] * (r["w_for"] + w_runs) / 8 + 64,
-            }
+            # outlier-bearing columns; NDV comes from the merged KMV sketch,
+            # so low-NDV int columns (enum-like ids) can rank dict too
+            est = int_cost_model(
+                n, int(r["w_for"]), int(r["runs"]), int(r["ndv"]),
+                for_pbytes=_num(r, "for_pbytes"),
+                delta_pbytes=_num(r, "delta_pbytes"),
+                w_delta=int(r["w_delta"]),
+            )
         elif phys in ("string", "binary"):
-            ndv, total = float(r["ndv"]), float(r["total_bytes"])
-            code_bits = bit_width(max(int(ndv) - 1, 0))
-            dict_bytes = total * ndv / n + 8 * ndv
             ratio = float(r.get("fsst_sample_ratio") or 0.0)
             if not ratio:
-                ratio = max(0.25, min(1.05, float(r["entropy"]) / 8.0 * 1.6 - 0.35))
-            uniq_bytes = total * ndv / n * min(1.0, ratio) + 8 * ndv
-            est = {
-                "plain": total + 2.0 * n,
-                "dict": uniq_bytes + code_bits * n / 8 + 64,
-                "rle": uniq_bytes + float(r["runs"]) * (code_bits + bit_width(n)) / 8 + 64,
-                "fsst": total * ratio + 2.0 * n + 2048,
-            }
+                ratio = entropy_fsst_ratio(float(r["entropy"]))
+            est = str_cost_model(
+                n, float(r["ndv"]), float(r["runs"]), float(r["total_bytes"]), ratio
+            )
         elif phys == "double":
-            n_exc = (1.0 - float(r.get("alp_hit") or 0.0)) * n
-            est = {
-                "plain": 8.0 * n,
-                "alp": float(r.get("w_alp") or 64) * n / 8 + n_exc * 12 + 64,
-            }
+            est = float_cost_model(
+                n, int(r.get("w_alp") or 64), _num(r, "alp_hit"), 8
+            )
         elif phys == "float":
-            n_exc = (1.0 - float(r.get("alp_hit") or 0.0)) * n
-            est = {
-                "plain": 4.0 * n,
-                "alp": float(r.get("w_alp") or 32) * n / 8 + n_exc * 8 + 64,
-            }
+            est = float_cost_model(
+                n, int(r.get("w_alp") or 32), _num(r, "alp_hit"), 4
+            )
         else:
             est = {"plain": 0.0}
-        plan[f"{r['pt']}/{r['column']}"] = min(est.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        plan[f"{r['pt']}/{r['column']}"] = pick(est)
     return plan

@@ -76,17 +76,45 @@ _FSST_SAMPLE_BYTES = 1 << 17
 # CONSTANT cost per chunk no matter how big the per-pt sample grows
 _FSST_TRIAL_BYTES = 1 << 15
 
-# phys tags the sampling pass understands; list<T> columns are skipped here
-# and fall back to the per-block local choice inside the encode UDF
+# phys tags the sampling pass understands; ``list<T>`` columns participate
+# too (round 5): their partials are computed over the FLATTENED child values
+# — exactly the view choose_codec_local ranks on — so the global plan covers
+# them and blocks stop re-running the per-block estimator for every chunk
 _STATS_PHYS = (
     "int", "long", "timestamp", "timestamp_ntz", "boolean", "date",
     "string", "binary", "double", "float",
 )
 
+
+def _stats_phys_ok(phys: str) -> bool:
+    from .blocks import is_list_phys, list_child_phys
+
+    if is_list_phys(phys):
+        return list_child_phys(phys) in _STATS_PHYS
+    return phys in _STATS_PHYS
+
 _INT_PHYS = ("int", "long", "timestamp", "timestamp_ntz", "boolean", "date")
 
 
 def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) -> dict:
+    from .blocks import is_list_phys, list_child_phys
+
+    if is_list_phys(phys):
+        # list<T>: partials over the flattened child values (the same view
+        # the list kernel encodes and choose_codec_local ranks on); the row
+        # keeps the declared list phys — build_plan strips it to pick the
+        # child branch, and the plan codec names the child kernel
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(series)
+        if pa.types.is_null(arr.type):  # chunk where every list is NULL
+            flat = pa.array([], type=pa.null())
+        else:
+            flat = pc.list_flatten(arr.drop_null() if arr.null_count else arr)
+        out = _col_partial(pt, salt, name, list_child_phys(phys), flat.to_pandas())
+        out["phys"] = phys
+        return out
     out = {
         "pt": pt, "salt": salt, "column": name, "phys": phys, "n": len(series),
         "ndv": 0, "runs": 0, "vmin": 0, "vmax": 0, "w_delta": 0,
@@ -179,7 +207,7 @@ def _stats_fields(df, pt_col: str) -> list[tuple[str, str]]:
         for f in df.schema.fields
         if f.name != pt_col
     ]
-    return [(n, p) for n, p in fields if p in _STATS_PHYS]
+    return [(n, p) for n, p in fields if _stats_phys_ok(p)]
 
 
 def sample_stats(
@@ -272,9 +300,12 @@ def merged_stats(
         w_fsst = float((g["fsst_sample_ratio"].to_numpy() * tb).sum() / tb.sum()) if tb.sum() else 0.0
         nn = g["n"].to_numpy(dtype=np.float64)
         w_alp_hit = float((g["alp_hit"].to_numpy() * nn).sum() / nn.sum()) if nn.sum() else 0.0
+        from .blocks import is_list_phys, list_child_phys
+
+        base_phys = list_child_phys(phys) if is_list_phys(phys) else phys
         nonzero = g[g["n"] > 0]
         w_for = 0
-        if phys in _INT_PHYS and len(nonzero):
+        if base_phys in _INT_PHYS and len(nonzero):
             w_for = bit_width(int(nonzero["vmax"].max()) - int(nonzero["vmin"].min()))
         rows.append(
             {

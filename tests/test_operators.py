@@ -385,3 +385,43 @@ def test_winnow_full_windows_only(spark):
     for r in fp2:
         bd.setdefault(r["doc_id"], set()).add(r["fp"])
     assert bd[4] & bd[5], "w+k-1 shared-substring guarantee broken"
+
+
+def test_winnow_chunked_equals_whole_doc(spark):
+    """Round-5 scale fix: the chunked winnow (overlapping char chunks, window
+    per (doc_id, chunk)) must produce EXACTLY the single-window result, and a
+    long doc must actually fan out over multiple chunks."""
+    import random
+
+    from bids2table_spark.operators.text import fingerprint_winnow
+
+    rng = random.Random(17)
+    # long docs spanning many chunks at chunk_chars=200, plus boundary-length
+    # docs (exactly chunk, chunk±1, < k, < w grams) to pin the edge math
+    docs = [
+        (1, "".join(rng.choice("abcdefg ") for _ in range(1000))),
+        (2, "".join(rng.choice("xyzw. ") for _ in range(999))),
+        (3, "".join(rng.choice("mnop") for _ in range(200))),
+        (4, "".join(rng.choice("qrst") for _ in range(201))),
+        (5, "short"),          # < k chars
+        (6, "justabouttwenty!"),  # < w grams
+        (7, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    whole = fingerprint_winnow(df, k=8, w=16, chunk_chars=1 << 20)
+    chunked = fingerprint_winnow(df, k=8, w=16, chunk_chars=200)
+
+    def fp_sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["doc_id"], set()).add(r["fp"])
+        return out
+
+    assert fp_sets(chunked.collect()) == fp_sets(whole.collect())
+    # the long doc really was processed as several chunks
+    n_chunks = (
+        df.filter(F.col("doc_id") == 1)
+        .select(F.explode(F.expr("sequence(1, greatest(length(text) - 7, 1), 200)")))
+        .count()
+    )
+    assert n_chunks >= 5

@@ -309,3 +309,109 @@ def test_pinned_run_retry_does_not_double_count(spark, transcripts, tmp_path):
     assert s2["n_rows"] == total_rows
     dec = decode_job(spark, out)
     assert dec.count() == total_rows
+
+
+def test_schema_growth_on_resume_errors_then_allows(spark, transcripts, tmp_path):
+    """Round-5 schema evolution: resuming with a NEW column while committed
+    groups are skipped must raise by default (the old behavior silently
+    committed groups without it); on_new_columns='allow' proceeds and decode
+    null-fills the column for pre-growth groups."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "grow")
+    r1 = encode_job(
+        spark, transcripts, out, run_id="g1",
+        target_group_rows=4096, max_groups=2,
+    )
+    assert r1["groups_encoded"] == 2
+    wider = transcripts.withColumn("score", F.length("text").cast("double"))
+    with pytest.raises(RuntimeError, match="score"):
+        encode_job(spark, wider, out, run_id="g2", target_group_rows=4096)
+    r2 = encode_job(
+        spark, wider, out, run_id="g2", target_group_rows=4096,
+        on_new_columns="allow",
+    )
+    assert r2["groups_skipped"] == 2
+    dec = decode_job(spark, out)
+    assert "score" in dec.columns
+    got = dec.toPandas()
+    exp = wider.toPandas()
+    # full table decoded; score is NULL exactly for the 2 pre-growth groups'
+    # rows and exact elsewhere
+    assert len(got) == len(exp)
+    n_null = int(got["score"].isna().sum())
+    assert 0 < n_null < len(got)
+    merged = got.merge(
+        exp[KEY + ["score"]], on=KEY, suffixes=("", "_exp"), how="left"
+    )
+    filled = merged[~merged["score"].isna()]
+    assert (filled["score"] == filled["score_exp"]).all()
+
+
+def test_mixed_schema_append_prefix_null_fills(spark, tmp_path):
+    """Appending a wider-schema batch under a fresh group_prefix (the
+    supported append path) yields the union schema on decode, with typed
+    NULLs for the earlier batch's groups — the reference's null-fill cast
+    (schema.py:195-224) re-expressed over the block container."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "mixed")
+    a = synth_transcripts(spark, n_conv=60, seed=1, n_pt=2)
+    b = synth_transcripts(spark, n_conv=60, seed=2, n_pt=2).withColumn(
+        "conv_id", F.concat(F.lit("b-"), F.col("conv_id"))
+    ).withColumn("rating", (F.length("text") % 5).cast("int"))
+    encode_job(spark, a, out, run_id="a", group_prefix="a:", target_group_rows=4096)
+    encode_job(spark, b, out, run_id="b", group_prefix="b:", target_group_rows=4096)
+    dec = decode_job(spark, out)
+    assert "rating" in dec.columns
+    n_a, n_b = a.count(), b.count()
+    assert dec.count() == n_a + n_b
+    assert dec.filter(F.col("rating").isNull()).count() == n_a
+    # projection decode of ONLY the evolved column still null-fills
+    proj = decode_job(spark, out, columns=["conv_id", "rating"])
+    assert set(proj.columns) == {"pt", "conv_id", "rating"}
+    assert proj.filter(F.col("rating").isNotNull()).count() == b.count()
+
+
+def test_col_ranges_nonkey_zone_pruning(spark, transcripts, tmp_path):
+    """Per-column zone maps: a ts-range col_ranges decode must return every
+    matching row while decoding strictly fewer chunks than a full decode
+    (ts correlates with the conv_id sort inside groups only loosely, but
+    narrow ranges still prune)."""
+    import pyspark.sql.functions as F
+
+    from bids2table_spark.manifest import committed_blocks
+
+    out = str(tmp_path / "colzone")
+    encode_job(spark, transcripts, out, run_id="z", block_rows=512,
+               target_group_rows=2048)
+    lo, hi = transcripts.agg(
+        F.expr("percentile(cast(ts as double), 0.48)"),
+        F.expr("percentile(cast(ts as double), 0.52)"),
+    ).first()
+    lo_ts = pd.Timestamp(lo, unit="s", tz="UTC")
+    hi_ts = pd.Timestamp(hi, unit="s", tz="UTC")
+    pruned = decode_job(spark, out, col_ranges={"ts": (lo_ts, hi_ts)})
+    full = decode_job(spark, out)
+    exact = full.filter(F.col("ts").between(F.lit(lo_ts), F.lit(hi_ts)))
+    got = pruned.filter(F.col("ts").between(F.lit(lo_ts), F.lit(hi_ts)))
+    assert got.count() == exact.count() > 0
+    # pruning really happened: the candidate decode is smaller than full
+    assert pruned.count() < full.count()
+    # string column point-range on a non-key column also stays exact
+    r = decode_job(spark, out, col_ranges={"role": ("tool", "tool")})
+    assert (
+        r.filter(F.col("role") == "tool").count()
+        == full.filter(F.col("role") == "tool").count()
+    )
+
+
+def test_group_universe_guard(spark, transcripts, tmp_path):
+    """The driver-held group universe is bounded and documented: exceeding
+    max_group_universe fails fast with sizing guidance instead of building
+    a multi-GB driver list."""
+    with pytest.raises(RuntimeError, match="max_group_universe"):
+        encode_job(
+            spark, transcripts, str(tmp_path / "cap"), run_id="cap",
+            target_group_rows=1024, max_group_universe=2,
+        )

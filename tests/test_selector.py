@@ -116,6 +116,90 @@ def test_partial_keys_match_ddl():
     assert set(STATS_COLUMNS) - {"entropy", "w_for"} <= ddl_fields
 
 
+def _stats_row_from_partial(p: dict, phys: str) -> pd.DataFrame:
+    """One-chunk mirror of merged_stats's row construction, so a pure-pandas
+    test can feed build_plan exactly what the Spark pass would produce."""
+    from bids2table_spark.codecs.bitpack import bit_width
+    from bids2table_spark.stats import STATS_COLUMNS, _entropy_from_hist, _kmv_estimate
+
+    hist = (
+        np.frombuffer(p["hist"], dtype=np.int64)
+        if len(p["hist"])
+        else np.zeros(256, dtype=np.int64)
+    )
+    row = {
+        "pt": p["pt"], "column": p["column"], "phys": phys, "n": p["n"],
+        "ndv": _kmv_estimate([p["kmv"]]) or p["ndv"], "runs": p["runs"],
+        "w_for": bit_width(int(p["vmax"]) - int(p["vmin"])),
+        "w_delta": p["w_delta"], "total_bytes": p["total_bytes"],
+        "entropy": _entropy_from_hist(hist),
+        "fsst_sample_ratio": p["fsst_sample_ratio"], "alp_hit": p["alp_hit"],
+        "w_alp": p["w_alp"], "for_pbytes": p["for_pbytes"],
+        "delta_pbytes": p["delta_pbytes"],
+    }
+    return pd.DataFrame([row], columns=STATS_COLUMNS)
+
+
+def test_tiers_agree_on_same_stats():
+    """Round-4 verdict item: build_plan's int branch omitted dict, so a
+    low-NDV int column got different codecs from the two tiers.  Both tiers
+    now share one cost model — identical stats => identical choice, and the
+    low-NDV int fixture must pick dict in BOTH."""
+    from bids2table_spark.selector import build_plan
+    from bids2table_spark.stats import _col_partial
+
+    rng = np.random.default_rng(5)
+    fixtures = {
+        # 4 distinct wide values in random order: dict is the only small codec
+        "low_ndv_int": (pd.Series(rng.integers(0, 4, 4000) * 1_000_003_111), "long"),
+        "seq_int": (pd.Series(np.arange(4000, dtype=np.int64)), "long"),
+        "sorted_runs_int": (pd.Series(np.repeat(np.arange(16), 250)), "long"),
+        "low_ndv_str": (pd.Series(["user", "assistant"] * 2000), "string"),
+    }
+    for name, (series, phys) in fixtures.items():
+        local = choose_codec_local(series, phys)
+        p = _col_partial("p", 0, name, phys, series)
+        plan = build_plan(_stats_row_from_partial(p, phys))
+        assert plan[f"p/{name}"] == local, f"{name}: tiers disagree"
+    assert choose_codec_local(fixtures["low_ndv_int"][0], "long") == "dict"
+
+
+def test_list_columns_in_stats_pass(spark):
+    """list<T> columns get global-plan coverage (round-4 gap #5): the stats
+    frame carries a row per list column (child-value stats), build_plan
+    emits a child-codec entry for it, and encode honors the plan."""
+    from pyspark.sql import functions as F
+
+    from bids2table_spark.encode import encode_table
+    from bids2table_spark.stats import merged_stats
+    from bids2table_spark.selector import build_plan
+
+    df = (
+        synth_transcripts(spark, n_conv=100, seed=11, n_pt=2)
+        .withColumn(
+            "marks",
+            F.sequence(F.lit(0), F.pmod(F.xxhash64("conv_id"), F.lit(6)).cast("int")),
+        )
+        .cache()
+    )
+    stats = merged_stats(df, fraction=1.0, salts_per_pt=2)
+    lst = stats[stats["column"] == "marks"]
+    assert len(lst) == 2 and set(lst["phys"]) == {"list<int>"}
+    assert (lst["n"] > 0).all() and (lst["total_bytes"] > 0).all()
+    plan = build_plan(stats)
+    picked = {plan[k] for k in plan if k.endswith("/marks")}
+    # sequences 0..m: tiny child values — any int-family codec beats plain
+    assert picked and "plain" not in picked
+    blocks = encode_table(df, plan=plan, target_group_rows=4096).cache()
+    got = {
+        r["codec"]
+        for r in blocks.filter(F.col("column") == "marks").select("codec").distinct().collect()
+    }
+    assert got == picked  # the plan, not the per-block fallback, decided
+    blocks.unpersist()
+    df.unpersist()
+
+
 def test_patched_costs_flow_into_plan():
     """An int column with rare huge outliers: patched FOR/delta byte sums
     must make the global plan prefer forbp/delta over plain, matching the

@@ -324,7 +324,15 @@ def q_run_length_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs merge across missing bucket ids too — bucket ids are just
     orderkey ranges, so the previous PRESENT bucket's last run is the true
     predecessor.  Same output as the global-window formulation (the DuckDB
-    oracle still computes it globally)."""
+    oracle still computes it globally).
+
+    The post-collapse ``runs`` frame (one row per flag run — orders of
+    magnitude smaller than lineitem) is persisted: interior and boundary
+    both branch off it, and without the cache Spark recomputes the full
+    scan+window subtree per branch (round-4 plans showed 2 lineitem
+    FileScans, no ReusedExchange even under AQE).  Caching the collapsed
+    frame makes the expensive pass run once at any scale; the entry is
+    freed by the ContextCleaner when the result's lineage is dropped."""
     BUCKET = 1024  # whole orderkeys per bucket: order within/across preserved
     li = _t(spark, sf_dir, "lineitem")
     wb = Window.partitionBy("bucket").orderBy(
@@ -351,7 +359,7 @@ def q_run_length_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("run_len")
     )
     nb = Window.partitionBy("bucket")
-    runs = runs.withColumn("n_runs_b", F.max("run_id").over(nb))
+    runs = runs.withColumn("n_runs_b", F.max("run_id").over(nb)).persist()
     interior = runs.filter(
         (F.col("run_id") > 1) & (F.col("run_id") < F.col("n_runs_b"))
     ).select("l_returnflag", "run_len")

@@ -52,6 +52,24 @@ def _paths(out_dir: str) -> tuple[str, str, str]:
     return f"{out_dir}/blocks", f"{out_dir}/manifest", f"{out_dir}/salt_plan"
 
 
+class _phase_timer:
+    """Env-gated (B2T_TIMING=1) wall-clock phase log for encode_job — the
+    job is many small Spark actions and one big one; this attributes the
+    total without a profiler run."""
+
+    def __init__(self, tag: str) -> None:
+        import time
+
+        self.on = bool(os.environ.get("B2T_TIMING"))
+        self.tag, self.t0, self.clk = tag, time.time(), time.time
+
+    def lap(self, phase: str) -> None:
+        if self.on:
+            t = self.clk()
+            print(f"[{self.tag}] {phase}: {t - self.t0:.2f}s", flush=True)
+            self.t0 = t
+
+
 def _colmeta_path(out_dir: str) -> str:
     return f"{out_dir.rstrip('/')}/colmeta.json"
 
@@ -311,6 +329,7 @@ def encode_job(
     pre_flat_df = df  # colmeta is saved post-growth-check: metadata sits on
     # the original top-level fields (struct parents included)
     df = fdf
+    _pt = _phase_timer(run_id)
     splan = resolve_salt_plan(
         spark, df, out_dir, scope=group_prefix, pt_col=pt_col,
         target_group_rows=target_group_rows, resume=resume,
@@ -340,6 +359,7 @@ def encode_job(
     ]
     from .session import local_df
 
+    _pt.lap("salt_plan")
     pending = local_df(spark, all_groups, f"{pt_col} string, grp string")
     mdf = read_manifest(spark, out_dir) if resume else None
     done = None
@@ -359,6 +379,7 @@ def encode_job(
             "into a fresh out_dir to backfill."
         )
     _save_colmeta(out_dir, pre_flat_df, keyinfo, columns=cols_now)
+    _pt.lap("pending/resume")
     if done is not None and n_pending < n_total and verify_growth:
         latest = _latest_committed(mdf, pt_col).select(pt_col, "grp", "n_rows")
         in_counts = (
@@ -401,7 +422,9 @@ def encode_job(
     # 1) durable blocks first, into THIS run's own partition directory (no
     # per-pt hive dirs: each encode task emits one file; pt lives as a
     # column, and readers select via the manifest join)
+    _pt.lap("pre_encode")
     blocks.write.mode("append").option("compression", "zstd").parquet(run_path)
+    _pt.lap("encode_write")
 
     # 2) … then manifest rows derived from what actually landed on disk.
     # Reading run_path (not the blocks root) means an incremental run's job
@@ -481,6 +504,7 @@ def encode_job(
     manifest = manifest.cache()  # one computation serves the write AND the
     # empty-group gap check below (re-reading mpath cost an extra job/run)
     manifest.write.mode("append").parquet(mpath)
+    _pt.lap("manifest_write")
 
     # salt buckets that received ZERO conversations (hash imbalance on a
     # small n_salts) produce no blocks and hence no manifest row above —
@@ -508,6 +532,7 @@ def encode_job(
         )
     )
     empties.write.mode("append").parquet(mpath)
+    _pt.lap("empties_write")
     manifest.unpersist()
 
     m = spark.read.parquet(mpath).filter(F.col("run_id") == run_id)

@@ -327,12 +327,18 @@ def q_run_length_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle still computes it globally).
 
     The post-collapse ``runs`` frame (one row per flag run — orders of
-    magnitude smaller than lineitem) is persisted: interior and boundary
-    both branch off it, and without the cache Spark recomputes the full
-    scan+window subtree per branch (round-4 plans showed 2 lineitem
-    FileScans, no ReusedExchange even under AQE).  Caching the collapsed
-    frame makes the expensive pass run once at any scale; the entry is
-    freed by the ContextCleaner when the result's lineage is dropped."""
+    magnitude smaller than lineitem) is materialized ONCE via an eager
+    localCheckpoint: interior and boundary both branch off it, and without
+    it Spark recomputes the full scan+window subtree per branch (round-4
+    plans showed 2 lineitem FileScans, no ReusedExchange even under AQE).
+    localCheckpoint, not persist(): SQL-cache entries live in the
+    CacheManager until an explicit unpersist (a session-lifetime pin this
+    function cannot release, and one that lets a repeated identical call
+    serve from the first call's cache — a benchmark lie), while checkpoint
+    blocks are freed by the ContextCleaner when the returned frame is
+    GC'd, and every call recomputes honestly.  Caveat: checkpoint blocks
+    are not recomputable on executor loss — acceptable for a collapsed
+    frame this small (re-run the query)."""
     BUCKET = 1024  # whole orderkeys per bucket: order within/across preserved
     li = _t(spark, sf_dir, "lineitem")
     wb = Window.partitionBy("bucket").orderBy(
@@ -359,7 +365,7 @@ def q_run_length_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("run_len")
     )
     nb = Window.partitionBy("bucket")
-    runs = runs.withColumn("n_runs_b", F.max("run_id").over(nb)).persist()
+    runs = runs.withColumn("n_runs_b", F.max("run_id").over(nb)).localCheckpoint()
     interior = runs.filter(
         (F.col("run_id") > 1) & (F.col("run_id") < F.col("n_runs_b"))
     ).select("l_returnflag", "run_len")

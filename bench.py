@@ -198,6 +198,10 @@ def main() -> None:
     # in query_samples instead of silently becoming the round's number
     query_samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(2):
+        # a query that caches an intermediate must not let pass 2 serve
+        # from pass 1's still-live entry — the min would then exclude the
+        # expensive subtree the query exists to measure
+        spark.catalog.clearCache()
         for name in HEADLINE:
             t0 = time.time()
             _noop_write(qs[name](spark, sf_dir))

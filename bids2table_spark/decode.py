@@ -131,6 +131,10 @@ def decode_table(blocks_df, columns: list[tuple[str, str]] | None = None, verify
     if columns is None:
         columns = table_columns(blocks_df)
     ddl, tree = _output_plan(columns)
+    # decode ONLY requested columns: a projection pushdown keeps each
+    # chunk's col_idx==0 block as a row-count anchor (decode_job), and an
+    # anchor that isn't itself requested must not pay decode + checksum
+    needed = {name for name, _ in columns}
 
     def decode_group(key, tbl):  # no hints: pyspark infers eval type
         import numpy as np
@@ -143,7 +147,8 @@ def decode_table(blocks_df, columns: list[tuple[str, str]] | None = None, verify
         rows = tbl.to_pylist()  # <= n_columns small rows (metadata + payload)
         out = {}
         for row in rows:
-            out[row["column"]] = decode_block(row, verify=verify)
+            if row["column"] in needed:
+                out[row["column"]] = decode_block(row, verify=verify)
 
         def node_type(node) -> pa.DataType:
             if node["kind"] == "leaf":
@@ -204,7 +209,10 @@ def decode_table(blocks_df, columns: list[tuple[str, str]] | None = None, verify
                 lists = lists.take(indices)
             return lists.cast(pa.list_(struct.type))
 
-        n = len(next(iter(out.values()))) if out else 0
+        # row count from block METADATA (every column block of a chunk
+        # records the same n_rows), so a chunk whose only surviving block
+        # is an undecoded anchor still emits its rows (null-filled)
+        n = int(rows[0]["n_rows"]) if rows else 0
         arrays = [pa.array([pt] * n, type=pa.string())]
         names = ["pt"]
         for name, node in tree["children"].items():

@@ -74,17 +74,45 @@ def _colmeta_path(out_dir: str) -> str:
     return f"{out_dir.rstrip('/')}/colmeta.json"
 
 
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text sidecar through the Hadoop FileSystem API — the
+    same abstraction every Spark write uses, so the sidecar lands wherever
+    the blocks do (s3a://, hdfs://, gs://), not only on local disk."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str | None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def _save_colmeta(
     out_dir: str,
     df: DataFrame,
     keyinfo: dict | None = None,
     columns: dict[str, str] | None = None,
+    prefix: str = "",
 ) -> None:
     """Persist per-column Spark field metadata (reference carries per-column
     string metadata through concat/prefix, bids2table/schema.py:277-284; the
     Spark-native channel is StructField.metadata).  Driver-side JSON sidecar —
-    tiny, written once per out_dir; local-path seam like _exists (an object
-    store would go through the Hadoop FS API here).
+    tiny, written once per out_dir; object-store paths go through the Hadoop
+    FS API (same destination as the blocks), local paths write directly.
 
     ``keyinfo`` (stored under the reserved ``__keyinfo__`` name, never a
     valid column) records the sort-key column + phys type and the caller's
@@ -99,41 +127,71 @@ def _save_colmeta(
     bounds to each column's physical type (reference analog: the
     IncrementalTable accepts per-handler schema growth and cast_to_schema
     null-fills missing fields, bids2table/table.py:34-50 +
-    schema.py:195-224)."""
+    schema.py:195-224).  A column re-appearing with a DIFFERENT physical
+    type raises — decode would cast new blocks to the stale phys and
+    col_ranges would compare bounds across incompatible alphabets; type
+    changes need a fresh out_dir.  ``__prefix_columns__`` additionally
+    records the column set PER group_prefix, because the growth guard must
+    compare a resume against the columns *its own prefix* committed — the
+    global union would let a wider append under another prefix disarm the
+    guard for the original one."""
     import json
 
-    existing = _load_colmeta(out_dir)
+    spark = df.sparkSession
+    existing = _load_colmeta(out_dir, spark)
     existing.pop("__keyinfo__", None)
     prev_cols = existing.pop("__columns__", None) or {}
+    prev_pfx = existing.pop("__prefix_columns__", None) or {}
     meta = dict(existing)
     meta.update({f.name: f.metadata for f in df.schema.fields if f.metadata})
     if columns is not None:
         merged = dict(prev_cols)
         nxt = max((int(c["col_idx"]) for c in merged.values()), default=-1) + 1
         for name, phys in columns.items():
-            if name not in merged:
+            cur = merged.get(name)
+            if cur is None:
                 merged[name] = {"phys": phys, "col_idx": nxt}
                 nxt += 1
+            elif cur["phys"] != phys:
+                raise RuntimeError(
+                    f"column {name!r} was committed with physical type "
+                    f"{cur['phys']!r} but this run carries it as {phys!r} — "
+                    "decode would cast new blocks to the stale type and "
+                    "col_ranges bounds would compare across incompatible "
+                    "alphabets. Type changes need a fresh out_dir."
+                )
         meta["__columns__"] = merged
-    elif prev_cols:
-        meta["__columns__"] = prev_cols
+        pfx_set = sorted(set(prev_pfx.get(prefix) or ()) | set(columns))
+        meta["__prefix_columns__"] = {**prev_pfx, prefix: pfx_set}
+    else:
+        if prev_cols:
+            meta["__columns__"] = prev_cols
+        if prev_pfx:
+            meta["__prefix_columns__"] = prev_pfx
     if keyinfo:
         meta["__keyinfo__"] = keyinfo
     if not meta:
         return
+    text = json.dumps(meta, sort_keys=True)
     p = _colmeta_path(out_dir).removeprefix("file://")
     if "://" in p:
+        _fs_write_text(spark, _colmeta_path(out_dir), text)
         return
     os.makedirs(os.path.dirname(p), exist_ok=True)
     with open(p, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
+        fh.write(text)
 
 
-def _load_colmeta(out_dir: str) -> dict[str, dict]:
+def _load_colmeta(out_dir: str, spark: SparkSession | None = None) -> dict[str, dict]:
     import json
 
     p = _colmeta_path(out_dir).removeprefix("file://")
-    if "://" in p or not os.path.isfile(p):
+    if "://" in p:
+        if spark is None:
+            return {}
+        text = _fs_read_text(spark, _colmeta_path(out_dir))
+        return json.loads(text) if text else {}
+    if not os.path.isfile(p):
         return {}
     with open(p) as fh:
         return json.load(fh)
@@ -324,8 +382,19 @@ def encode_job(
         for f in fdf.schema.fields
         if f.name != pt_col
     }
-    prev_cols = (_load_colmeta(out_dir).get("__columns__") or {}) if resume else {}
-    new_cols = sorted(c for c in cols_now if prev_cols and c not in prev_cols)
+    colmeta_all = _load_colmeta(out_dir, spark) if resume else {}
+    prev_cols = colmeta_all.get("__columns__") or {}
+    # the growth guard compares against the columns THIS prefix committed —
+    # a wider append under another prefix must not disarm it (per-prefix
+    # ledger).  Dirs written before per-prefix tracking fall back to the
+    # union ledger: that can only under-detect (the union is a superset),
+    # never falsely error.
+    pcmap = colmeta_all.get("__prefix_columns__")
+    if pcmap is not None:
+        guard_cols = set(pcmap.get(group_prefix) or ())
+    else:
+        guard_cols = set(prev_cols)
+    new_cols = sorted(c for c in cols_now if guard_cols and c not in guard_cols)
     pre_flat_df = df  # colmeta is saved post-growth-check: metadata sits on
     # the original top-level fields (struct parents included)
     df = fdf
@@ -378,7 +447,17 @@ def encode_job(
             "that (mixed-schema table, nulls for old groups), or re-encode "
             "into a fresh out_dir to backfill."
         )
-    _save_colmeta(out_dir, pre_flat_df, keyinfo, columns=cols_now)
+    # a PRE-LEDGER dir (committed runs exist but no __columns__ recorded —
+    # written by round-4 code) must not have its ledger seeded from this
+    # run's columns alone: decode would treat the partial ledger as the
+    # complete column list and silently drop old-run-only columns.  Leave
+    # the ledger absent; decode falls back to discovering columns from the
+    # blocks themselves (table_columns), which still sees every run.
+    legacy_dir = resume and mdf is not None and not prev_cols
+    _save_colmeta(
+        out_dir, pre_flat_df, keyinfo,
+        columns=None if legacy_dir else cols_now, prefix=group_prefix,
+    )
     _pt.lap("pending/resume")
     if done is not None and n_pending < n_total and verify_growth:
         latest = _latest_committed(mdf, pt_col).select(pt_col, "grp", "n_rows")
@@ -572,8 +651,18 @@ def committed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     # literal isin — superseded run_id= directories are pruned at planning
     # time (PartitionFilters), not discovered-then-dropped by the join
     live_runs = [r["run_id"] for r in latest.select("run_id").distinct().collect()]
-    blocks = spark.read.option("basePath", bpath).parquet(bpath).filter(
-        F.col("run_id").isin(live_runs)
+    # explicit schema (not inference): pre-round-5 part-files lack the
+    # cmin/cmax zone columns and read as NULL here — which every consumer
+    # treats as unprunable — instead of failing resolution (or resolving
+    # nondeterministically in a mixed old/new dir, where inference samples
+    # one file's footer)
+    from .encode import BLOCKS_DDL_WITH_IDX
+
+    blocks = (
+        spark.read.option("basePath", bpath)
+        .schema(BLOCKS_DDL_WITH_IDX + ", run_id string")
+        .parquet(bpath)
+        .filter(F.col("run_id").isin(live_runs))
     )
     return blocks.filter(F.col("codec") != ERROR_CODEC).join(
         F.broadcast(latest), on=["pt", "grp", "run_id"], how="inner"
@@ -617,9 +706,10 @@ def decode_job(
     blocks = committed_blocks(spark, out_dir)
     if pts is not None:
         blocks = blocks.filter(F.col("pt").isin(list(pts)))
-    colmeta = _load_colmeta(out_dir)
+    colmeta = _load_colmeta(out_dir, spark)
     keyinfo = colmeta.pop("__keyinfo__", None) or {}
     colinfo = colmeta.pop("__columns__", None) or {}
+    colmeta.pop("__prefix_columns__", None)
     if col_ranges:
         from .blocks import zone_key_value
 
@@ -653,6 +743,7 @@ def decode_job(
             on=["pt", "grp", "block_id"],
             how="left_semi",
         )
+    proj_blocks = None
     if columns is not None:
         want = set(columns)
         for c in columns:  # a nested leaf needs every ancestor's validity leaf
@@ -662,7 +753,20 @@ def decode_job(
         wanted = F.col("column").isin(sorted(want))
         for c in columns:  # struct parents: pull in every parent·field block
             wanted = wanted | F.col("column").startswith(f"{c}·")
-        blocks = blocks.filter(wanted)
+        proj_blocks = blocks.filter(wanted)
+        # ANCHOR: every chunk also keeps its col_idx==0 block even when not
+        # requested.  A group encoded before a requested column existed has
+        # no block for that column, and a projection of ONLY such columns
+        # would make the whole chunk vanish from the groupBy — its rows
+        # silently dropped instead of null-filled.  decode_table never
+        # decodes an unrequested block's payload (it reads only n_rows),
+        # and the payload/meta bytes are nulled here so the decode shuffle
+        # moves one metadata-only row per chunk, not the anchor's blob.
+        blocks = (
+            blocks.filter(wanted | (F.col("col_idx") == 0))
+            .withColumn("payload", F.when(wanted, F.col("payload")))
+            .withColumn("meta", F.when(wanted, F.col("meta")))
+        )
     # the colmeta ledger fixes the output column list + order driver-side —
     # no extra distinct-over-blocks Spark job, and groups encoded before a
     # column existed (schema evolution) still yield the full union schema
@@ -680,6 +784,13 @@ def decode_job(
                 for nm, ph in ordered
                 if nm in want or any(nm.startswith(f"{c}·") for c in columns)
             ]
+    elif columns is not None:
+        # pre-ledger dir: discover the projected column list from the
+        # projection-only frame, NOT the anchor-inclusive one decode reads —
+        # otherwise the anchor column leaks into the output schema
+        from .decode import table_columns
+
+        dec_cols = table_columns(proj_blocks)
     if key_range is not None:
         from .blocks import zone_key_value
 

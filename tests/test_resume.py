@@ -415,3 +415,114 @@ def test_group_universe_guard(spark, transcripts, tmp_path):
             spark, transcripts, str(tmp_path / "cap"), run_id="cap",
             target_group_rows=1024, max_group_universe=2,
         )
+
+
+def test_projection_of_only_new_column_keeps_old_groups(spark, tmp_path):
+    """Projecting ONLY an evolution-added column must still emit every
+    pre-growth group's rows as typed NULLs: each chunk's col_idx==0 anchor
+    block keeps the group alive in the decode even when no requested block
+    exists for it (without the anchor, old groups vanished silently)."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "projnew")
+    a = synth_transcripts(spark, n_conv=60, seed=3, n_pt=2)
+    b = synth_transcripts(spark, n_conv=60, seed=4, n_pt=2).withColumn(
+        "conv_id", F.concat(F.lit("b-"), F.col("conv_id"))
+    ).withColumn("rating", (F.length("text") % 5).cast("int"))
+    encode_job(spark, a, out, run_id="a", group_prefix="a:", target_group_rows=4096)
+    encode_job(spark, b, out, run_id="b", group_prefix="b:", target_group_rows=4096)
+    proj = decode_job(spark, out, columns=["rating"])
+    assert set(proj.columns) == {"pt", "rating"}
+    n_a, n_b = a.count(), b.count()
+    assert proj.count() == n_a + n_b  # the bug dropped a's rows entirely
+    assert proj.filter(F.col("rating").isNull()).count() == n_a
+    assert proj.filter(F.col("rating").isNotNull()).count() == n_b
+
+
+def test_phys_change_on_reencode_raises(spark, tmp_path):
+    """A column re-appearing with a different physical type must fail fast
+    at encode time — decode would otherwise cast new blocks to the stale
+    recorded phys (crash or silent reinterpretation), and col_ranges would
+    compare bounds across incompatible alphabets."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "physchg")
+    a = synth_transcripts(spark, n_conv=40, seed=5, n_pt=2).withColumn(
+        "v", F.length("text").cast("long")
+    )
+    encode_job(spark, a, out, run_id="a", group_prefix="a:", target_group_rows=4096)
+    b = synth_transcripts(spark, n_conv=40, seed=6, n_pt=2).withColumn(
+        "conv_id", F.concat(F.lit("b-"), F.col("conv_id"))
+    ).withColumn("v", F.col("text").substr(1, 3))
+    with pytest.raises(RuntimeError, match="physical type"):
+        encode_job(spark, b, out, run_id="b", group_prefix="b:",
+                   target_group_rows=4096)
+
+
+def test_cross_prefix_append_does_not_disarm_growth_guard(spark, tmp_path):
+    """The growth guard compares against the columns committed under the
+    RESUMING prefix: a wider append under another prefix must not disarm
+    on_new_columns='error' for the original prefix (the union ledger did)."""
+    import pyspark.sql.functions as F
+
+    a = synth_transcripts(spark, n_conv=60, seed=7, n_pt=2)
+    out = str(tmp_path / "pfxguard")
+    encode_job(spark, a, out, run_id="a", target_group_rows=1024, max_groups=2)
+    wider_b = synth_transcripts(spark, n_conv=20, seed=8, n_pt=2).withColumn(
+        "conv_id", F.concat(F.lit("b-"), F.col("conv_id"))
+    ).withColumn("n_chars", F.length("text"))
+    # fresh prefix with the new column: allowed (no committed group skipped)
+    encode_job(spark, wider_b, out, run_id="b", group_prefix="b:",
+               target_group_rows=4096)
+    # resume the DEFAULT prefix with the wider schema: must still raise even
+    # though the union ledger now contains n_chars
+    wider_a = a.withColumn("n_chars", F.length("text"))
+    with pytest.raises(RuntimeError, match="n_chars"):
+        encode_job(spark, wider_a, out, run_id="c", target_group_rows=1024)
+
+
+def test_legacy_dir_ledger_not_seeded(spark, tmp_path):
+    """Appending into a pre-ledger dir (round-4 layout: committed runs but
+    no __columns__ in colmeta) must NOT seed the ledger from the new run's
+    columns alone — decode would treat the partial ledger as the complete
+    column list and silently drop old-run-only columns."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "legacy")
+    a = synth_transcripts(spark, n_conv=40, seed=9, n_pt=2)
+    encode_job(spark, a, out, run_id="a", group_prefix="a:", target_group_rows=4096)
+    # simulate a round-4 dir: strip the ledger keys from the sidecar
+    p = f"{out}/colmeta.json"
+    meta = json.load(open(p))
+    meta.pop("__columns__", None)
+    meta.pop("__prefix_columns__", None)
+    json.dump(meta, open(p, "w"))
+    # append a NARROWER batch under a fresh prefix
+    b = synth_transcripts(spark, n_conv=40, seed=10, n_pt=2).withColumn(
+        "conv_id", F.concat(F.lit("b-"), F.col("conv_id"))
+    ).drop("tool")
+    encode_job(spark, b, out, run_id="b", group_prefix="b:", target_group_rows=4096)
+    meta2 = json.load(open(p))
+    assert "__columns__" not in meta2  # ledger stays absent, not partial
+    dec = decode_job(spark, out)
+    assert "tool" in dec.columns  # old-run-only column survives via discovery
+    assert dec.count() == a.count() + b.count()
+    assert dec.filter(F.col("tool").isNotNull()).count() > 0
+
+
+def test_colmeta_hadoop_fs_roundtrip(spark, tmp_path):
+    """Object-store seam: the colmeta sidecar reads/writes through the
+    Hadoop FileSystem API for URI paths (s3a://, hdfs://, …) so the
+    schema-evolution guard and col_ranges phys coercion are NOT silently
+    inert off local disk.  Exercised here via a file:// URI passed straight
+    to the FS helpers (the scheme Hadoop maps to LocalFileSystem)."""
+    from bids2table_spark.manifest import _fs_read_text, _fs_write_text
+
+    uri = f"file://{tmp_path}/side/colmeta.json"
+    assert _fs_read_text(spark, uri) is None
+    _fs_write_text(spark, uri, '{"k": "v"}')
+    assert _fs_read_text(spark, uri) == '{"k": "v"}'
+    _fs_write_text(spark, uri, '{"k": "w"}')  # overwrite semantics
+    assert _fs_read_text(spark, uri) == '{"k": "w"}'

@@ -678,6 +678,35 @@ def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evolution_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end: encode HALF the groups WITHOUT `tool`,
+    append the remaining groups at the full schema (on_new_columns='allow'),
+    then re-run with on_new_columns='backfill' — exactly the stale groups
+    are rewritten under the new run_id (latest committed row supersedes,
+    Iceberg-rewrite semantics) — and vacuum the fully superseded run dir.
+    The oracle is the complete un-encoded table: matching value hashes
+    prove the backfilled groups decode bit-identically with NO null-filled
+    holes, and that the vacuum deleted nothing live."""
+    import shutil
+
+    from bids2table_spark.manifest import decode_job, encode_job, vacuum_job
+
+    base = _mat_dir(sf_dir, "bfill")
+    shutil.rmtree(base, ignore_errors=True)
+    out = f"{base}/enc"
+    tr = transcripts_from_events(spark, sf_dir)
+    encode_job(spark, tr.drop("tool"), out, run_id="bf1",
+               target_group_rows=65536, max_groups=2)
+    encode_job(spark, tr, out, run_id="bf2", target_group_rows=65536,
+               on_new_columns="allow")
+    encode_job(spark, tr, out, run_id="bf3", target_group_rows=65536,
+               on_new_columns="backfill")
+    vacuum_job(spark, out)  # bf1 is now fully superseded
+    return decode_job(spark, out).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "pt"
+    )
+
+
 def q_decode_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map pruned range decode: only blocks whose (zmin, zmax) key
     range overlaps the requested conv range are read and decoded; the exact
@@ -1213,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_range_numeric": q_decode_range_numeric,
         "decode_filter_nonkey": q_decode_filter_nonkey,
         "schema_evolution": q_schema_evolution,
+        "evolution_backfill": q_evolution_backfill,
         "csv_ingest": q_csv_ingest,
         "tsv_array_ingest": q_tsv_array_ingest,
         "json_props_parse": q_json_props_parse,
@@ -1530,6 +1560,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN length(text)::INTEGER END AS n_chars
             FROM tr
         """,
+        "evolution_backfill": _TRANSCRIPTS_ORACLE,
         "decode_projection": f"""
             WITH tr AS ({_TRANSCRIPTS_ORACLE})
             SELECT pt, role, count(*) AS n, min(conv_id) AS min_conv,

@@ -14,7 +14,7 @@ Public API:
 
 from .decode import decode_table
 from .encode import encode_grouped, encode_table
-from .manifest import decode_job, encode_job, read_manifest
+from .manifest import decode_job, encode_job, read_manifest, vacuum_job
 from .selector import build_plan, choose_codec_local
 from .session import get_spark
 from .stats import merged_stats, plan_from_stats, sample_stats
@@ -28,6 +28,7 @@ __all__ = [
     "decode_table",
     "encode_job",
     "decode_job",
+    "vacuum_job",
     "read_manifest",
     "plan_from_stats",
     "sample_stats",

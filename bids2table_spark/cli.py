@@ -24,7 +24,7 @@ def main(argv: list[str] | None = None) -> int:
     # an abbreviated flag (--group for --group-rows) would parse but register
     # under the wrong name and let the config file override the user's value
     p = argparse.ArgumentParser(prog="bids2table_spark", allow_abbrev=False)
-    p.add_argument("command", choices=["synth", "encode", "decode", "verify"])
+    p.add_argument("command", choices=["synth", "encode", "decode", "verify", "vacuum"])
     p.add_argument("--input", help="input table: parquet path or iceberg name")
     p.add_argument("--out", default=None)
     p.add_argument("--encoded", help="encoded dir (verify)")
@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sample-fraction", type=float, default=0.05)
     p.add_argument("--run-id", default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--on-new-columns", choices=["error", "allow", "backfill"], default="error",
+        help="resume behavior when the input grew columns vs the committed "
+        "ledger: error (default), allow (new groups wide, old null-filled "
+        "at decode), backfill (re-encode stale groups under this run_id)",
+    )
     p.add_argument("--print-only", action="store_true", help="print the plan and exit")
     p.add_argument(
         "--config",
@@ -67,7 +73,9 @@ def main(argv: list[str] | None = None) -> int:
                 setattr(args, key, conv(cfg[key]))
         if cfg.get("resume") is False:
             args.no_resume = True
-    if not args.out and not (args.command == "verify" and args.encoded):
+    if not args.out and not (
+        args.command == "verify" and args.encoded
+    ) and not (args.command == "vacuum" and args.input):
         p.error("--out is required (flag or config file)")
 
     from bids2table_spark import (
@@ -110,8 +118,16 @@ def main(argv: list[str] | None = None) -> int:
             run_id=args.run_id, plan=plan,
             block_rows=args.block_rows, target_group_rows=args.group_rows,
             resume=not args.no_resume,
+            on_new_columns=args.on_new_columns,
         )
         print(json.dumps(summary))
+        return 0
+
+    if args.command == "vacuum":
+        from bids2table_spark import vacuum_job
+
+        target = args.input or args.out
+        print(json.dumps(vacuum_job(spark, target)))
         return 0
 
     if args.command == "decode":

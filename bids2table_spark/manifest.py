@@ -331,18 +331,29 @@ def encode_job(
     path's per-epoch prefix is exactly this).
 
     SCHEMA EVOLUTION (``on_new_columns``): the out_dir's colmeta sidecar
-    records the encoded column set; when a resume's input carries columns
-    absent from it AND committed groups are being skipped, those groups
-    would silently never encode the new columns.  ``"error"`` (default)
-    raises — the round-4 silent-skip bug made loud; ``"allow"`` proceeds:
-    new groups encode the full schema, committed groups keep their old
-    column set, and ``decode_job`` null-fills the missing columns per group
-    (reference null-fill cast: bids2table/schema.py:195-224).  Appends via
-    a fresh ``group_prefix`` with a wider schema never error (no committed
+    records the encoded column set PER group_prefix; when a resume's input
+    carries columns absent from its prefix's set AND committed groups are
+    being skipped, those groups would silently never encode the new
+    columns.  ``"error"`` (default) raises — the round-4 silent-skip bug
+    made loud; ``"allow"`` proceeds: new groups encode the full schema,
+    committed groups keep their old column set, and ``decode_job``
+    null-fills the missing columns per group (reference null-fill cast:
+    bids2table/schema.py:195-224); ``"backfill"`` re-encodes every
+    committed group whose live manifest row lacks any of the new columns —
+    the rewrite lands under this run_id and supersedes the old blocks at
+    read time (latest committed row wins — Iceberg RewriteDataFiles
+    semantics), so the whole table carries the grown schema with no
+    null-filled holes.  Membership is decided from each group's OWN
+    manifest row (its ``codecs`` column lists what it encoded), so a table
+    whose groups grew at different times backfills exactly the stale ones.
+    Superseded blocks stay on disk until ``vacuum_job``.  Appends via a
+    fresh ``group_prefix`` with a wider schema never error (no committed
     group is being skipped) — that is the supported mixed-schema path.
     """
-    if on_new_columns not in ("error", "allow"):
-        raise ValueError(f"on_new_columns must be 'error' or 'allow', got {on_new_columns!r}")
+    if on_new_columns not in ("error", "allow", "backfill"):
+        raise ValueError(
+            f"on_new_columns must be 'error', 'allow' or 'backfill', got {on_new_columns!r}"
+        )
     run_id = run_id or uuid.uuid4().hex[:12]
     bpath, mpath, _ = _paths(out_dir)
     run_path = f"{bpath}/run_id={run_id}"
@@ -434,6 +445,26 @@ def encode_job(
     done = None
     if mdf is not None:
         done = mdf.filter(F.col("status") == "committed").select(pt_col, "grp").distinct()
+        if on_new_columns == "backfill":
+            # a committed group whose LIVE manifest row lacks any of the
+            # input's CURRENT columns is re-encoded in full under this
+            # run_id; its fresh committed row supersedes the old one at
+            # read time.  The group's own codecs list (JSON
+            # ["column:codec", ...]) is the per-group column record —
+            # strip the codec suffix and set-diff against cols_now (NOT
+            # against the ledger diff: an earlier 'allow' run already
+            # taught the ledger the new column, but the groups it skipped
+            # are still stale).  Empty gap rows (n_rows=0) have nothing to
+            # rewrite and stay done.
+            latest = _latest_committed(mdf, pt_col)
+            cols_arr = F.expr(
+                "transform(from_json(codecs, 'array<string>'), "
+                "x -> regexp_replace(x, ':[^:]*$', ''))"
+            )
+            stale = (
+                F.size(F.array_except(F.array(*[F.lit(c) for c in cols_now]), cols_arr)) > 0
+            ) & (F.col("n_rows") > 0)
+            done = latest.filter(~stale).select(pt_col, "grp")
     n_pending = n_total
     if done is not None:
         pending = pending.join(done, on=[pt_col, "grp"], how="left_anti")
@@ -667,6 +698,45 @@ def committed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     return blocks.filter(F.col("codec") != ERROR_CODEC).join(
         F.broadcast(latest), on=["pt", "grp", "run_id"], how="inner"
     )
+
+
+def vacuum_job(spark: SparkSession, out_dir: str) -> dict:
+    """Delete block directories of fully superseded runs (Iceberg's
+    expire-snapshots analog for this layout).
+
+    Safe by the reader's own rule: ``committed_blocks`` resolves content
+    through the LATEST committed manifest row per (pt, grp), so a
+    ``run_id=…`` directory is unreachable exactly when no group's live row
+    references it — backfill rewrites and re-encoded failures accumulate
+    such dirs.  Two guards keep this concurrency-tolerant: only run_ids the
+    manifest KNOWS about are candidates (an in-flight encode's dir, whose
+    manifest rows aren't written yet, is never touched), and the manifest
+    log itself is append-only and untouched (the lineage/metrics history
+    survives the vacuum).  Goes through the Hadoop FS API, so it works
+    wherever the blocks live.  Returns {runs_deleted, runs_live}."""
+    bpath, _, _ = _paths(out_dir)
+    m = read_manifest(spark, out_dir)
+    if m is None:
+        return {"runs_deleted": 0, "runs_live": 0}
+    live = {
+        r["run_id"]
+        for r in _latest_committed(m).select("run_id").distinct().collect()
+    }
+    known = {r["run_id"] for r in m.select("run_id").distinct().collect()}
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(bpath)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    deleted = 0
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("run_id="):
+                continue
+            rid = name.split("=", 1)[1]
+            if rid in known and rid not in live:
+                fs.delete(st.getPath(), True)
+                deleted += 1
+    return {"runs_deleted": deleted, "runs_live": len(live)}
 
 
 def decode_job(

@@ -526,3 +526,79 @@ def test_colmeta_hadoop_fs_roundtrip(spark, tmp_path):
     assert _fs_read_text(spark, uri) == '{"k": "v"}'
     _fs_write_text(spark, uri, '{"k": "w"}')  # overwrite semantics
     assert _fs_read_text(spark, uri) == '{"k": "w"}'
+
+
+def test_backfill_reencodes_exactly_stale_groups(spark, tmp_path):
+    """on_new_columns='backfill': committed groups whose live manifest row
+    lacks the new column are re-encoded under the new run_id (latest
+    committed row supersedes — Iceberg rewrite semantics), groups that
+    already carry it are skipped, and decode has NO null-filled holes."""
+    import pyspark.sql.functions as F
+
+    from bids2table_spark.manifest import committed_blocks
+
+    out = str(tmp_path / "backfill")
+    base = synth_transcripts(spark, n_conv=240, seed=11, n_pt=4)
+    wider = base.withColumn("score", F.length("text").cast("double"))
+    # run 1: half the groups at the narrow schema
+    r1 = encode_job(spark, base, out, run_id="g1",
+                    target_group_rows=4096, max_groups=2)
+    assert r1["groups_encoded"] == 2
+    # run 2: rest of the groups at the wide schema (mixed table)
+    r2 = encode_job(spark, wider, out, run_id="g2", target_group_rows=4096,
+                    on_new_columns="allow")
+    assert r2["groups_skipped"] == 2
+    # run 3: backfill — exactly the 2 stale groups re-encode; nothing else
+    r3 = encode_job(spark, wider, out, run_id="g3", target_group_rows=4096,
+                    on_new_columns="backfill")
+    assert r3["groups_encoded"] == 2
+    assert r3["groups_skipped"] == r1["groups_total"] - 2
+    dec = decode_job(spark, out)
+    assert dec.filter(F.col("score").isNull()).count() == 0
+    got = dec.toPandas()[sorted(dec.columns)].sort_values(KEY, ignore_index=True)
+    exp = wider.toPandas()
+    exp = exp[sorted(exp.columns)].sort_values(KEY, ignore_index=True)
+    got.insert(0, "pt", got.pop("pt"))  # align column positions after sort
+    exp.insert(0, "pt", exp.pop("pt"))
+    pd.testing.assert_frame_equal(got, exp)
+    # the reader serves every backfilled group from the NEW run only
+    live = committed_blocks(spark, out).select("run_id").distinct()
+    assert {r["run_id"] for r in live.collect()} == {"g2", "g3"}
+    # idempotent: a repeat backfill finds nothing stale
+    r4 = encode_job(spark, wider, out, run_id="g4", target_group_rows=4096,
+                    on_new_columns="backfill")
+    assert r4["groups_encoded"] == 0
+
+
+def test_vacuum_deletes_only_superseded_runs(spark, tmp_path):
+    """vacuum_job removes run dirs no live manifest row references (the
+    backfill's superseded originals), never live ones or unknown in-flight
+    dirs, and decode is bit-identical afterwards."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from bids2table_spark.manifest import vacuum_job
+
+    out = str(tmp_path / "vac")
+    base = synth_transcripts(spark, n_conv=120, seed=12, n_pt=2)
+    wider = base.withColumn("score", F.length("text").cast("double"))
+    encode_job(spark, base, out, run_id="v1", target_group_rows=4096)
+    encode_job(spark, wider, out, run_id="v2", target_group_rows=4096,
+               on_new_columns="backfill")
+    # an in-flight run dir the manifest doesn't know about must survive
+    inflight = f"{out}/blocks/run_id=inflight"
+    os.makedirs(inflight)
+    open(f"{inflight}/part-0.parquet", "w").close()
+    res = vacuum_job(spark, out)
+    assert res["runs_deleted"] == 1  # v1 fully superseded by the backfill
+    dirs = set(os.listdir(f"{out}/blocks"))
+    assert "run_id=v1" not in dirs
+    assert {"run_id=v2", "run_id=inflight"} <= dirs
+    dec = decode_job(spark, out)
+    got = dec.toPandas()[sorted(dec.columns)].sort_values(KEY, ignore_index=True)
+    exp = wider.toPandas()
+    exp = exp[sorted(exp.columns)].sort_values(KEY, ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # second vacuum is a no-op
+    assert vacuum_job(spark, out)["runs_deleted"] == 0

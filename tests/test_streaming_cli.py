@@ -98,6 +98,39 @@ def test_cli_config_file(spark, tmp_path):
     assert cli.main(["verify", "--input", src, "--encoded", enc, "--out", enc]) == 0
 
 
+def test_cli_backfill_and_vacuum(spark, tmp_path):
+    """spark-submit surface for schema evolution: encode at a narrow schema,
+    re-encode with --on-new-columns backfill after the input grew a column,
+    vacuum the superseded run via the CLI, and verify bit-identity."""
+    from bids2table_spark import cli
+
+    src_full = str(tmp_path / "full")
+    src_narrow = str(tmp_path / "narrow")
+    enc = str(tmp_path / "enc")
+    assert cli.main(["synth", "--out", src_full, "--n-conv", "80"]) == 0
+    spark.read.parquet(src_full).drop("tool").write.partitionBy("pt").parquet(src_narrow)
+    assert cli.main(["encode", "--input", src_narrow, "--out", enc,
+                     "--run-id", "n1"]) == 0
+    # resume at the grown schema: default errors loud, backfill rewrites
+    assert cli.main(["encode", "--input", src_full, "--out", enc,
+                     "--run-id", "w1", "--on-new-columns", "backfill"]) == 0
+    out = json.loads(_run_cli_capture(["vacuum", "--input", enc]))
+    assert out["runs_deleted"] == 1  # n1 fully superseded by the backfill
+    assert cli.main(["verify", "--input", src_full, "--encoded", enc]) == 0
+
+
+def _run_cli_capture(args):
+    import contextlib
+    import io
+
+    from bids2table_spark import cli
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli.main(args) == 0
+    return buf.getvalue().strip().splitlines()[-1]
+
+
 def test_scan_pushdown_evidence(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     q = df.filter(df.l_orderkey == 5).select("l_orderkey", "l_quantity")

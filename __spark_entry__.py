@@ -1060,6 +1060,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the LSH candidate
+    pairs (distributed min-label propagation + pointer jumping), min doc_id
+    canonical.  Oracle reproduces the fixpoint with a recursive CTE over
+    the same pair SQL."""
+    from bids2table_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bids2table_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1250,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_infer_example": q_schema_infer_example,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1601,6 +1612,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash_lsh": _lsh_pairs_sql(128, 16),
+        # connected-components fixpoint as a recursive CTE: reach(v, lbl)
+        # enumerates every id reachable from v through the pair graph; the
+        # component min mirrors the Spark min-label propagation exactly
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_lsh_pairs_sql(128, 16)}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(v, lbl) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst
+            ),
+            comp AS (
+                SELECT v AS doc_id, least(v, min(lbl)) AS cluster_id
+                FROM reach GROUP BY v
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        """,
         "dedup_ngram_jaccard": f"""
             WITH pairs AS ({_lsh_pairs_sql(128, 16, max_bucket=None)}),
             sh AS (SELECT doc_id, {_HASHED_SHINGLES} AS sh FROM documents)

@@ -376,3 +376,81 @@ def embedding_neardup(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cosine")
         .distinct()
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve candidate pairs into clusters: ``(doc_id, cluster_id)`` with
+    ``cluster_id`` = min doc id of the vertex's connected component — the
+    final stage of the dedup pipeline (pick one canonical document per
+    near-duplicate cluster; reference keeps one row per key the same way,
+    its ``_get_duplicates`` keep-first: /root/reference/bids2table/table.py:98-118).
+
+    Distributed min-label propagation with pointer jumping (the hash-to-min
+    idea of Rastogi et al., "Finding Connected Components in Map-Reduce in
+    Logarithmic Rounds", ICDE 2013): each round every vertex takes the min
+    label over itself and its neighbors, then labels chase one hop through
+    the label table (lbl <- lbl(lbl)), so chains collapse in O(log d)
+    rounds, not O(d).  Scale shape: every join/aggregate shuffles on the
+    vertex id only; the edge list is checkpointed once and reused; the
+    label frontier is localCheckpoint'ed per round (truncates lineage —
+    an iterative plan would otherwise grow exponentially and recompute
+    history); convergence is detected by an aggregate (no driver-side
+    label set).  Only vertices that appear in some pair participate —
+    callers left-join the corpus and coalesce to self for singletons."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lbl = (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("lbl"))
+        .withColumn("lbl", F.least("doc_id", "lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(lbl.withColumnRenamed("doc_id", "dst"), "dst")
+            .select(F.col("src").alias("doc_id"), "lbl")
+            .unionByName(lbl)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        hop = prop.select(F.col("doc_id").alias("_k"), F.col("lbl").alias("_l2"))
+        new = (
+            prop.join(hop, prop["lbl"] == hop["_k"], "left")
+            .select("doc_id", F.least("lbl", F.coalesce("_l2", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("lbl", "_nl")
+            .join(lbl, "doc_id")
+            .filter(F.col("_nl") != F.col("lbl"))
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            return lbl.select("doc_id", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(pointer jumping bounds rounds by O(log diameter) — a graph this "
+        "deep means the candidate pairs are wrong, not the iteration cap)"
+    )
+
+
+def dedup_clusters(docs: DataFrame, **lsh_kwargs) -> DataFrame:
+    """Every document labeled with its near-duplicate cluster id (min doc_id
+    over the MinHash-LSH candidate-pair connected component; singletons get
+    their own id).  ``is_canonical`` marks the one row per cluster a
+    dedup'd corpus keeps."""
+    cc = connected_components(minhash_lsh_pairs(docs, **lsh_kwargs))
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )

@@ -425,3 +425,66 @@ def test_winnow_chunked_equals_whole_doc(spark):
         .count()
     )
     assert n_chunks >= 5
+
+
+def _uf_clusters(n_nodes, edges):
+    """Union-find reference: {node: min id of its component}."""
+    parent = {v: v for e in edges for v in e} | {v: v for v in n_nodes}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from bids2table_spark.operators.dedup import connected_components
+
+    # path 1-2-3-4, triangle 10-11-12 (+ chord), bridge 12-13, isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+             (12, 13), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == _uf_clusters([], edges)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping: a 200-vertex path collapses well inside the round
+    cap (min-only propagation would need ~200 rounds)."""
+    from bids2table_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(pairs, max_iter=12).collect()
+    assert len(out) == 201
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_dedup_clusters_canonical_rows(spark):
+    """dedup_clusters: near-identical docs share a cluster; exactly one
+    canonical row per cluster; singletons are their own canon."""
+    from bids2table_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows = [
+        (1, base), (2, base), (3, base + " tail"),
+        (4, "completely different text about spark columnar encoding " * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(docs).collect()}
+    assert got[1] == (1, True)
+    assert got[2][0] == 1 and not got[2][1]
+    assert got[4] == (4, True)
+    n_canon = sum(1 for c, is_c in got.values() if is_c)
+    assert n_canon == len({c for c, _ in got.values()})

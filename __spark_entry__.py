@@ -1180,6 +1180,18 @@ SELECT query_id, vec_id, cosine, rank FROM (
     return sql
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bids2table_spark.operators.text import normalize_text
+
+    return normalize_text(_t(spark, sf_dir, "documents"))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bids2table_spark.operators.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bids2table_spark.operators.text import lang_id
 
@@ -1267,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "normalize_text": q_normalize_text,
+        "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1678,6 +1692,29 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ivf_oracle(),
+        # \x0B is stripped by the control pass in BOTH engines before the
+        # \s+ collapse, so RE2-vs-Java \s class differences cannot surface
+        "normalize_text": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(
+                         regexp_replace(text,
+                             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                         '\s+', ' ', 'g')) AS norm_text
+              FROM documents
+            )
+            SELECT doc_id, norm_text,
+                   length(text)::BIGINT AS n_chars_before,
+                   length(norm_text)::BIGINT AS n_chars_after
+            FROM s
+        """,
+        "vocab_topk": r"""
+            SELECT token, count(*)::BIGINT AS n FROM (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+              FROM documents
+            ) WHERE length(token) > 0
+            GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
         "lang_id": _lang_id_oracle(),
         "quality_score": """
             WITH t AS (

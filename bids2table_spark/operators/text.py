@@ -203,3 +203,45 @@ def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
             f"else md5(text) end"
         ).alias("fp"),
     )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Training-data text cleanup, pure Catalyst (whole-stage codegen, no
+    Python): strip C0/DEL control characters (keeping \\t \\n \\r as
+    whitespace), collapse every whitespace run to one space, trim.  Returns
+    before/after char counts so a pipeline can filter on shrinkage (a doc
+    that loses most of its bytes to normalization was mostly junk).
+    Reference analog: the extract-side str cast/cleanup before insert
+    (/root/reference/bids2table/schema.py:195-224 conforms values the same
+    declarative way)."""
+    stripped = F.regexp_replace(
+        F.col("text"), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+    )
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        collapsed.alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(collapsed).cast("long").alias("n_chars_after"),
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100, min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: top-k lowercased whitespace tokens by frequency
+    (ties broken by token text — deterministic).  The explode shuffles one
+    (token, partial count) per distinct token per partition — map-side
+    combine makes the shuffle O(vocab), not O(corpus); the final top-k is
+    a single ORDER BY LIMIT over the merged counts (Spark's TakeOrdered,
+    no full sort materialized).  This is the counting pass a BPE/unigram
+    vocab induction starts from."""
+    toks = docs.select(F.explode(_tok()).alias("token")).filter(
+        F.length("token") > 0
+    )
+    counts = toks.groupBy(F.lower(F.col("token")).alias("token")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        counts.filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )

@@ -488,3 +488,31 @@ def test_dedup_clusters_canonical_rows(spark):
     assert got[4] == (4, True)
     n_canon = sum(1 for c, is_c in got.values() if is_c)
     assert n_canon == len({c for c, _ in got.values()})
+
+
+def test_normalize_text_strips_and_collapses(spark):
+    from bids2table_spark.operators.text import normalize_text
+
+    rows = [(1, "  hello\x00\x01 world\t\t again \n"), (2, ""), (3, "a\x0bb")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert got[1]["norm_text"] == "hello world again"
+    assert got[2]["norm_text"] == "" and got[2]["n_chars_after"] == 0
+    # \x0B is a control char (stripped), not whitespace: no space survives
+    assert got[3]["norm_text"] == "ab"
+    assert got[3]["n_chars_before"] == 3 and got[3]["n_chars_after"] == 2
+
+
+def test_vocab_topk_deterministic_tiebreak(spark):
+    from bids2table_spark.operators.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple Apple banana"), (2, "banana cherry date"), (3, " ")],
+        "doc_id long, text string",
+    )
+    out = vocab_topk(docs, k=3).collect()
+    # apple(2, case-folded) and banana(2) tie -> alphabetical; cherry/date
+    # tie at the k boundary -> cherry wins by token order
+    assert [(r["token"], r["n"]) for r in out] == [
+        ("apple", 2), ("banana", 2), ("cherry", 1),
+    ]

@@ -810,6 +810,59 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (round 5): three small incremental appends (each its own
+    group_prefix — the streaming-epoch shape) leave many undersized groups;
+    ``compact_job`` rewrites them into full-size groups and tombstones the
+    originals in the same manifest append (Iceberg RewriteDataFiles /
+    bin-pack semantics), then ``vacuum_job`` drops the superseded run dirs.
+    The oracle is the complete un-encoded table: matching value hashes
+    prove the rewrite is bit-identical and nothing was double-served or
+    lost across the supersede."""
+    import shutil
+
+    from bids2table_spark.manifest import compact_job, decode_job, encode_job, vacuum_job
+
+    base = _mat_dir(sf_dir, "compact")
+    shutil.rmtree(base, ignore_errors=True)
+    out = f"{base}/enc"
+    tr = transcripts_from_events(spark, sf_dir)
+    uid = F.regexp_extract("conv_id", r"conv-0*(\d+)", 1).cast("long")
+    for i in range(3):
+        encode_job(spark, tr.filter(uid % 3 == i), out, run_id=f"cp{i}",
+                   group_prefix=f"e{i}:", target_group_rows=65536)
+    res = compact_job(spark, out, target_group_rows=262_144)
+    assert res["groups_compacted"] >= 2, res
+    vacuum_job(spark, out)
+    return decode_job(spark, out).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "pt"
+    )
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (round 5): two append runs, then read the table AS OF
+    the first commit via ``decode_job(as_of=run_id)`` — the append-only
+    manifest replays the latest-committed-row vote at that instant, so the
+    second batch vanishes.  The oracle is the first batch's un-encoded
+    slice."""
+    import shutil
+
+    from bids2table_spark.manifest import decode_job, encode_job
+
+    base = _mat_dir(sf_dir, "ttravel")
+    shutil.rmtree(base, ignore_errors=True)
+    out = f"{base}/enc"
+    tr = transcripts_from_events(spark, sf_dir)
+    uid = F.regexp_extract("conv_id", r"conv-0*(\d+)", 1).cast("long")
+    encode_job(spark, tr.filter(uid % 2 == 0), out, run_id="tt1",
+               group_prefix="a:", target_group_rows=65536)
+    encode_job(spark, tr.filter(uid % 2 == 1), out, run_id="tt2",
+               group_prefix="b:", target_group_rows=65536)
+    return decode_job(spark, out, as_of="tt1").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "pt"
+    )
+
+
 # ------------------------------------------------------- ingestion loaders
 
 
@@ -1265,6 +1318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_filter_nonkey": q_decode_filter_nonkey,
         "schema_evolution": q_schema_evolution,
         "evolution_backfill": q_evolution_backfill,
+        "compact_roundtrip": q_compact_roundtrip,
+        "time_travel": q_time_travel,
         "csv_ingest": q_csv_ingest,
         "tsv_array_ingest": q_tsv_array_ingest,
         "json_props_parse": q_json_props_parse,
@@ -1586,6 +1641,12 @@ def oracle_sql() -> dict[str, str]:
             FROM tr
         """,
         "evolution_backfill": _TRANSCRIPTS_ORACLE,
+        "compact_roundtrip": _TRANSCRIPTS_ORACLE,
+        "time_travel": f"""
+            WITH tr AS ({_TRANSCRIPTS_ORACLE})
+            SELECT conv_id, turn_idx, role, text, tool, ts, pt FROM tr
+            WHERE CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0
+        """,
         "decode_projection": f"""
             WITH tr AS ({_TRANSCRIPTS_ORACLE})
             SELECT pt, role, count(*) AS n, min(conv_id) AS min_conv,

@@ -9,12 +9,23 @@ Public API:
     encode_table(df) / decode_table(blocks)   in-memory encode/decode
     encode_job(spark, df, out_dir)            durable, resumable encode
     decode_job(spark, out_dir)                decode committed state
+    decode_job(spark, out_dir, as_of=...)     time-travel read (run_id/ts)
+    snapshots(spark, out_dir)                 commit history metadata table
+    compact_job(spark, out_dir)               bin-pack small groups
+    vacuum_job(spark, out_dir)                drop superseded run dirs
     plan_from_stats(df)                       stats pass -> codec plan
 """
 
 from .decode import decode_table
 from .encode import encode_grouped, encode_table
-from .manifest import decode_job, encode_job, read_manifest, vacuum_job
+from .manifest import (
+    compact_job,
+    decode_job,
+    encode_job,
+    read_manifest,
+    snapshots,
+    vacuum_job,
+)
 from .selector import build_plan, choose_codec_local
 from .session import get_spark
 from .stats import merged_stats, plan_from_stats, sample_stats
@@ -28,6 +39,8 @@ __all__ = [
     "decode_table",
     "encode_job",
     "decode_job",
+    "compact_job",
+    "snapshots",
     "vacuum_job",
     "read_manifest",
     "plan_from_stats",

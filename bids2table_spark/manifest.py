@@ -224,18 +224,73 @@ def committed_groups(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return m.filter(F.col("status") == "committed").select("pt", "grp").distinct()
 
 
-def _latest_committed(m: DataFrame, pt_col: str = "pt") -> DataFrame:
+def _latest_committed(m: DataFrame, pt_col: str = "pt", as_of=None) -> DataFrame:
     """Latest committed manifest row per (pt, grp) — THE definition of the
     live run for a group; resume verification and the reader must agree on
-    it, so both go through this helper."""
+    it, so both go through this helper.
+
+    ``as_of`` (a commit timestamp) restricts the vote to rows committed at
+    or before that instant: the manifest log is append-only and supersede
+    is by-recency, so filtering by time replays the table exactly as a
+    reader would have seen it then — time travel for free (Iceberg's
+    snapshot-id read re-expressed over the poor-man's snapshot)."""
+    rows = m.filter(F.col("status") == "committed")
+    if as_of is not None:
+        rows = rows.filter(F.col("committed_at") <= F.lit(as_of))
     w = Window.partitionBy(pt_col, "grp").orderBy(
         F.col("committed_at").desc(), F.col("run_id").desc()
     )
     return (
-        m.filter(F.col("status") == "committed")
-        .withColumn("_rn", F.row_number().over(w))
+        rows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def _as_of_ts(m: DataFrame, as_of):
+    """Resolve a user-facing ``as_of`` to a commit timestamp.  A string is
+    first tried as a run_id (its snapshot = everything committed up to that
+    run's last manifest append); anything else — datetime, pandas
+    Timestamp, or a timestamp-looking string — is used as the instant
+    itself.  Two runs landing in the same microsecond tie-break by
+    inclusion (both visible), which only ever widens the view to what a
+    contemporaneous reader saw."""
+    if as_of is None:
+        return None
+    if isinstance(as_of, str):
+        ts = (
+            m.filter(F.col("run_id") == as_of)
+            .agg(F.max("committed_at"))
+            .collect()[0][0]
+        )
+        if ts is not None:
+            return ts
+    import pandas as pd
+
+    return pd.Timestamp(as_of)
+
+
+def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Iceberg's ``snapshots`` metadata table analog: one row per run, in
+    commit order, with the run's own totals.  Feed a row's ``run_id`` (or
+    ``committed_at``) to ``decode_job(as_of=...)`` to read the table as of
+    that commit.  History survives until ``vacuum_job`` deletes superseded
+    block directories (expire-snapshots semantics: after a vacuum only the
+    live view is readable)."""
+    m = read_manifest(spark, out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    is_c = F.col("status") == "committed"
+    return (
+        m.groupBy("run_id")
+        .agg(
+            F.max("committed_at").alias("committed_at"),
+            F.sum(is_c.cast("long")).alias("groups_committed"),
+            F.sum((~is_c).cast("long")).alias("groups_failed"),
+            F.sum(F.when(is_c, F.col("n_rows")).otherwise(0)).alias("n_rows"),
+            F.sum(F.when(is_c, F.col("enc_bytes")).otherwise(0)).alias("enc_bytes"),
+        )
+        .orderBy("committed_at", "run_id")
     )
 
 
@@ -312,6 +367,7 @@ def encode_job(
     verify_growth: bool = True,
     on_new_columns: str = "error",
     max_group_universe: int = 4_000_000,
+    _extra_manifest: DataFrame | None = None,
 ) -> dict:
     """Encode ``df`` into out_dir, skipping already-committed groups.
 
@@ -387,6 +443,7 @@ def encode_job(
         "key_cols": list(key_cols),
         "key_phys": key_phys,
         "pt_col": orig_pt_col,
+        "conv_col": conv_col,
     }
     cols_now = {
         f.name: spark_field_phys(f.dataType)
@@ -516,6 +573,11 @@ def encode_job(
         pending = pending.orderBy(pt_col, "grp").limit(max_groups)
         n_pending = pending.count()
     if n_pending == 0:
+        if _extra_manifest is not None:
+            # a retried compact_job whose encode fully committed last time
+            # but crashed before the tombstone append lands the tombstones
+            # here — the convergence path that makes compaction idempotent
+            _extra_manifest.write.mode("append").parquet(mpath)
         return {"run_id": run_id, "groups_total": n_total, "groups_encoded": 0,
                 "groups_skipped": n_total, "groups_failed": 0,
                 "orig_bytes": 0, "enc_bytes": 0, "n_rows": 0}
@@ -613,7 +675,15 @@ def encode_job(
     )
     manifest = manifest.cache()  # one computation serves the write AND the
     # empty-group gap check below (re-reading mpath cost an extra job/run)
-    manifest.write.mode("append").parquet(mpath)
+    # _extra_manifest rows (compaction tombstones) ride in the SAME append:
+    # the single write is the commit point, so the new compacted groups and
+    # the supersede of their sources become visible together — a crash
+    # before this line leaves only unreachable orphan blocks
+    to_write = (
+        manifest if _extra_manifest is None
+        else manifest.unionByName(_extra_manifest)
+    )
+    to_write.write.mode("append").parquet(mpath)
     _pt.lap("manifest_write")
 
     # salt buckets that received ZERO conversations (hash imbalance on a
@@ -669,14 +739,42 @@ def encode_job(
     }
 
 
-def committed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
+def committed_blocks(spark: SparkSession, out_dir: str, as_of=None) -> DataFrame:
     """Blocks joined to the latest committed manifest row per (pt, grp) —
-    orphan blocks from crashed runs and failed groups are invisible here."""
+    orphan blocks from crashed runs and failed groups are invisible here.
+    ``as_of`` (run_id or timestamp) reads the table as of that commit; see
+    ``snapshots``.  Time travel requires the superseded block dirs to still
+    exist — ``vacuum_job`` collapses history to the live view."""
     bpath, _, _ = _paths(out_dir)
     m = read_manifest(spark, out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
-    latest = _latest_committed(m).select("pt", "grp", "run_id")
+    latest_rows = _latest_committed(m, as_of=_as_of_ts(m, as_of))
+    if as_of is not None:
+        # a vacuumed run dir would silently read as zero rows (its partition
+        # directory simply isn't there) — an expired snapshot must fail
+        # loudly instead (Iceberg's "snapshot has expired").  Only runs that
+        # actually wrote data blocks need their dir (tombstones and
+        # empty-gap rows have n_blocks=0 and no dir by design).
+        need = [
+            r["run_id"]
+            for r in latest_rows.filter(F.col("n_blocks") > 0)
+            .select("run_id").distinct().collect()
+        ]
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(bpath).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        gone = [
+            rid for rid in need
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{bpath}/run_id={rid}"))
+        ]
+        if gone:
+            raise RuntimeError(
+                f"snapshot as_of={as_of!r} is expired: vacuum_job deleted "
+                f"superseded run dir(s) {sorted(gone)} it depends on"
+            )
+    latest = latest_rows.select("pt", "grp", "run_id")
     # explicit static partition pruning: the live run_id set is tiny (one
     # per surviving run), so materialize it driver-side and filter with a
     # literal isin — superseded run_id= directories are pruned at planning
@@ -739,6 +837,121 @@ def vacuum_job(spark: SparkSession, out_dir: str) -> dict:
     return {"runs_deleted": deleted, "runs_live": len(live)}
 
 
+def compact_job(
+    spark: SparkSession,
+    out_dir: str,
+    target_group_rows: int = DEFAULT_GROUP_ROWS,
+    min_fill: float = 0.5,
+    block_rows: int = 65_536,
+    run_id: str | None = None,
+) -> dict:
+    """Rewrite undersized committed groups into full-size ones (Iceberg's
+    RewriteDataFiles / bin-pack analog — the small-files problem is THE
+    operational failure mode of incremental ingest at scale: every
+    streaming epoch / append prefix lands its own salt-planned groups, and
+    a year of hourly micro-batches leaves millions of tiny groups whose
+    per-group overhead dominates the read path).
+
+    A group is a victim when its live row has ``0 < n_rows <
+    min_fill * target_group_rows`` and its pt holds at least TWO victims
+    (rewriting a lone small group cannot reduce the group count — this
+    floor is what makes repeated compactions converge instead of churning).
+    Victims are decoded (checksum-verified), re-encoded under a prefix
+    derived from the victim-set hash, and superseded by tombstone manifest
+    rows (committed, ``n_rows=0``) that ride in the SAME manifest append as
+    the new groups' rows — the append is the commit point, so readers never
+    see the copies double-counted.  Deterministic run_id + prefix make the
+    job idempotent: a crash anywhere re-converges on re-run (the resume
+    anti-join skips already-committed compacted groups; a crash after full
+    commit but before tombstones lands the tombstones via encode_job's
+    early-return path).  Superseded blocks remain until ``vacuum_job``;
+    time travel to a pre-compaction ``as_of`` reads the original groups.
+
+    Resuming one of the ORIGINAL append prefixes after compaction fails
+    loudly (verify_growth sees the tombstone's 0 rows vs the input's) —
+    compact only prefixes that are done writing.  The victim key list is
+    collected driver-side: bounded by the same documented group-universe
+    cap as the salt plan (~50 B per group).
+    """
+    import hashlib
+
+    m = read_manifest(spark, out_dir)
+    noop = {"run_id": None, "groups_compacted": 0, "groups_created": 0,
+            "rows_rewritten": 0}
+    if m is None:
+        return noop
+    colmeta = _load_colmeta(out_dir, spark)
+    keyinfo = colmeta.get("__keyinfo__") or {}
+    latest = _latest_committed(m)
+    thresh = max(1, int(min_fill * target_group_rows))
+    small = latest.filter((F.col("n_rows") > 0) & (F.col("n_rows") < thresh))
+    per_pt = Window.partitionBy("pt")
+    victims = (
+        small.withColumn("_k", F.count("*").over(per_pt))
+        .filter(F.col("_k") >= 2)
+        .select("pt", "grp", "n_rows")
+        .collect()
+    )
+    if not victims:
+        return noop
+    keys = sorted((r["pt"], r["grp"]) for r in victims)
+    sig = hashlib.sha256(
+        "\n".join(f"{p}\x00{g}" for p, g in keys).encode()
+    ).hexdigest()[:10]
+    run_id = run_id or f"compact-{sig}"
+    prefix = f"c{sig}:"
+
+    from .session import local_df
+
+    todo = local_df(spark, keys, "pt string, grp string")
+    blocks = committed_blocks(spark, out_dir).join(
+        F.broadcast(todo), on=["pt", "grp"], how="left_semi"
+    )
+    colinfo = colmeta.get("__columns__") or {}
+    dec_cols = (
+        [
+            (nm, v["phys"])
+            for nm, v in sorted(colinfo.items(), key=lambda kv: int(kv[1]["col_idx"]))
+        ]
+        if colinfo
+        else None
+    )
+    df = decode_table(blocks, columns=dec_cols, verify=True)
+    orig_pt = keyinfo.get("pt_col") or "pt"
+    if orig_pt != "pt":
+        df = df.withColumnRenamed("pt", orig_pt)
+    key_cols = tuple(keyinfo.get("key_cols") or ("conv_id", "turn_idx"))
+    conv_col = keyinfo.get("conv_col") or key_cols[0]
+
+    _, mpath, _ = _paths(out_dir)
+    mschema = spark.read.parquet(mpath).schema
+    tombstones = (
+        todo.withColumn("run_id", F.lit(f"{run_id}.ts"))
+        .withColumn("n_blocks", F.lit(0).cast("long"))
+        .withColumn("n_rows", F.lit(0).cast("long"))
+        .withColumn("orig_bytes", F.lit(0).cast("long"))
+        .withColumn("enc_bytes", F.lit(0).cast("long"))
+        .withColumn("codecs", F.lit("[]"))
+        .withColumn("checksum", F.lit(""))
+        .withColumn("status", F.lit("committed"))
+        .withColumn("committed_at", F.current_timestamp())
+        .withColumn("error", F.lit(None).cast("string"))
+        .select(*[f.name for f in mschema.fields])
+    )
+    res = encode_job(
+        spark, df, out_dir, run_id=run_id, group_prefix=prefix,
+        key_cols=key_cols, pt_col=orig_pt, conv_col=conv_col,
+        block_rows=block_rows, target_group_rows=target_group_rows,
+        resume=True, _extra_manifest=tombstones,
+    )
+    return {
+        "run_id": run_id,
+        "groups_compacted": len(keys),
+        "groups_created": res["groups_encoded"],
+        "rows_rewritten": int(sum(r["n_rows"] for r in victims)),
+    }
+
+
 def decode_job(
     spark: SparkSession,
     out_dir: str,
@@ -747,6 +960,7 @@ def decode_job(
     pts: list[str] | None = None,
     key_range: tuple[str, str] | None = None,
     col_ranges: dict[str, tuple] | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Decode the committed state of out_dir back to the original table.
 
@@ -772,8 +986,15 @@ def decode_job(
     recorded physical type via the colmeta ledger; blocks with NULL bounds
     (list columns, all-NaN floats, pre-round-5 dirs) are never pruned.
     Like ``key_range``, whole overlapping chunks are returned — apply the
-    exact row predicate downstream."""
-    blocks = committed_blocks(spark, out_dir)
+    exact row predicate downstream.
+
+    ``as_of`` (a run_id from ``snapshots`` or a commit timestamp) reads the
+    table as of that commit — groups encoded later vanish, groups rewritten
+    later (backfill/compaction) read their pre-rewrite blocks.  The read
+    uses the CURRENT column ledger (Iceberg-style schema-on-read): columns
+    added after the snapshot decode as typed NULLs.  History is readable
+    until ``vacuum_job`` deletes superseded runs."""
+    blocks = committed_blocks(spark, out_dir, as_of=as_of)
     if pts is not None:
         blocks = blocks.filter(F.col("pt").isin(list(pts)))
     colmeta = _load_colmeta(out_dir, spark)

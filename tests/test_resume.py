@@ -602,3 +602,110 @@ def test_vacuum_deletes_only_superseded_runs(spark, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
     # second vacuum is a no-op
     assert vacuum_job(spark, out)["runs_deleted"] == 0
+
+
+def _prefixed(spark, seed, tag, n_conv=40):
+    import pyspark.sql.functions as F
+
+    return synth_transcripts(spark, n_conv=n_conv, seed=seed, n_pt=2).withColumn(
+        "conv_id", F.concat(F.lit(f"{tag}-"), F.col("conv_id"))
+    )
+
+
+def test_compact_small_groups_roundtrip(spark, tmp_path):
+    """compact_job rewrites the small groups of incremental appends into
+    full-size ones, tombstones the originals, stays idempotent, and the
+    decoded table is unchanged before and after (and after vacuum)."""
+    from bids2table_spark.manifest import (
+        _latest_committed, compact_job, vacuum_job,
+    )
+
+    out = str(tmp_path / "compact")
+    batches = [_prefixed(spark, s, f"e{s}") for s in (21, 22, 23)]
+    for i, b in enumerate(batches):
+        encode_job(spark, b, out, run_id=f"e{i}", group_prefix=f"e{i}:",
+                   target_group_rows=4096)
+    full = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    live_before = _latest_committed(read_manifest(spark, out)).filter(
+        "n_rows > 0").count()
+    res = compact_job(spark, out, target_group_rows=65536)
+    assert res["groups_compacted"] >= 2
+    assert 0 < res["groups_created"] < res["groups_compacted"]
+    assert res["rows_rewritten"] == full.count()
+    live_after = _latest_committed(read_manifest(spark, out)).filter(
+        "n_rows > 0").count()
+    assert live_after < live_before
+    pd.testing.assert_frame_equal(_sorted(full), _sorted(decode_job(spark, out)))
+    # idempotent: the compacted groups are full now, nothing to do
+    res2 = compact_job(spark, out, target_group_rows=65536)
+    assert res2["groups_compacted"] == 0
+    # vacuum drops the fully superseded append runs; decode unchanged
+    vac = vacuum_job(spark, out)
+    assert vac["runs_deleted"] >= 1
+    pd.testing.assert_frame_equal(_sorted(full), _sorted(decode_job(spark, out)))
+
+
+def test_compact_requires_two_victims_per_pt(spark, tmp_path):
+    """A lone small group per pt is NOT rewritten (rewriting cannot reduce
+    the group count — the convergence floor)."""
+    from bids2table_spark.manifest import compact_job
+
+    out = str(tmp_path / "lone")
+    encode_job(spark, _prefixed(spark, 31, "x"), out, run_id="x",
+               target_group_rows=65536)
+    res = compact_job(spark, out, target_group_rows=65536)
+    assert res["groups_compacted"] == 0 and res["run_id"] is None
+
+
+def test_time_travel_as_of(spark, tmp_path):
+    """decode_job(as_of=run_id | timestamp) replays the table as of that
+    commit; snapshots() lists the history in commit order."""
+    from bids2table_spark.manifest import snapshots
+
+    out = str(tmp_path / "tt")
+    a = _prefixed(spark, 41, "a")
+    b = _prefixed(spark, 42, "b")
+    encode_job(spark, a, out, run_id="t1", group_prefix="a:",
+               target_group_rows=4096)
+    encode_job(spark, b, out, run_id="t2", group_prefix="b:",
+               target_group_rows=4096)
+    snaps = snapshots(spark, out).toPandas()
+    assert list(snaps["run_id"]) == ["t1", "t2"]
+    assert (snaps["groups_failed"] == 0).all()
+    assert int(snaps.set_index("run_id")["n_rows"]["t1"]) == a.count()
+    # as_of run_id: only batch A visible
+    pd.testing.assert_frame_equal(
+        _sorted(a), _sorted(decode_job(spark, out, as_of="t1")))
+    # as_of the commit timestamp: identical view
+    ts1 = snaps.set_index("run_id")["committed_at"]["t1"]
+    pd.testing.assert_frame_equal(
+        _sorted(a), _sorted(decode_job(spark, out, as_of=ts1)))
+    # no as_of: the full table
+    pd.testing.assert_frame_equal(
+        _sorted(a.unionByName(b)), _sorted(decode_job(spark, out)))
+
+
+def test_time_travel_pre_compaction_and_expiry(spark, tmp_path):
+    """A pre-compaction as_of reads the ORIGINAL groups (history intact);
+    after vacuum_job deletes them, the expired snapshot fails loudly
+    instead of silently returning missing groups as zero rows."""
+    from bids2table_spark.manifest import compact_job, vacuum_job
+
+    out = str(tmp_path / "ttc")
+    a = _prefixed(spark, 51, "a")
+    b = _prefixed(spark, 52, "b")
+    encode_job(spark, a, out, run_id="t1", group_prefix="a:",
+               target_group_rows=4096)
+    encode_job(spark, b, out, run_id="t2", group_prefix="b:",
+               target_group_rows=4096)
+    res = compact_job(spark, out, target_group_rows=65536)
+    assert res["groups_compacted"] >= 2
+    full = a.unionByName(b)
+    # live view and the pre-compaction snapshot agree on content
+    pd.testing.assert_frame_equal(_sorted(full), _sorted(decode_job(spark, out)))
+    pd.testing.assert_frame_equal(
+        _sorted(full), _sorted(decode_job(spark, out, as_of="t2")))
+    vacuum_job(spark, out)
+    pd.testing.assert_frame_equal(_sorted(full), _sorted(decode_job(spark, out)))
+    with pytest.raises(RuntimeError, match="expired"):
+        decode_job(spark, out, as_of="t2").count()

@@ -24,7 +24,11 @@ def main(argv: list[str] | None = None) -> int:
     # an abbreviated flag (--group for --group-rows) would parse but register
     # under the wrong name and let the config file override the user's value
     p = argparse.ArgumentParser(prog="bids2table_spark", allow_abbrev=False)
-    p.add_argument("command", choices=["synth", "encode", "decode", "verify", "vacuum"])
+    p.add_argument(
+        "command",
+        choices=["synth", "encode", "decode", "verify", "vacuum", "compact",
+                 "snapshots"],
+    )
     p.add_argument("--input", help="input table: parquet path or iceberg name")
     p.add_argument("--out", default=None)
     p.add_argument("--encoded", help="encoded dir (verify)")
@@ -40,6 +44,15 @@ def main(argv: list[str] | None = None) -> int:
         help="resume behavior when the input grew columns vs the committed "
         "ledger: error (default), allow (new groups wide, old null-filled "
         "at decode), backfill (re-encode stale groups under this run_id)",
+    )
+    p.add_argument(
+        "--as-of", default=None,
+        help="decode: read the table as of this run_id or commit timestamp "
+        "(see the snapshots command); expired snapshots fail loudly",
+    )
+    p.add_argument(
+        "--min-fill", type=float, default=0.5,
+        help="compact: groups under min_fill*group_rows rows are victims",
     )
     p.add_argument("--print-only", action="store_true", help="print the plan and exit")
     p.add_argument(
@@ -75,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
             args.no_resume = True
     if not args.out and not (
         args.command == "verify" and args.encoded
-    ) and not (args.command == "vacuum" and args.input):
+    ) and not (args.command in ("vacuum", "compact", "snapshots") and args.input):
         p.error("--out is required (flag or config file)")
 
     from bids2table_spark import (
@@ -130,8 +143,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(vacuum_job(spark, target)))
         return 0
 
+    if args.command == "compact":
+        from bids2table_spark import compact_job
+
+        target = args.input or args.out
+        print(json.dumps(compact_job(
+            spark, target, target_group_rows=args.group_rows,
+            min_fill=args.min_fill, block_rows=args.block_rows,
+            run_id=args.run_id,
+        )))
+        return 0
+
+    if args.command == "snapshots":
+        from bids2table_spark import snapshots
+
+        target = args.input or args.out
+        for r in snapshots(spark, target).collect():
+            print(json.dumps({
+                "run_id": r["run_id"],
+                "committed_at": str(r["committed_at"]),
+                "groups_committed": r["groups_committed"],
+                "groups_failed": r["groups_failed"],
+                "n_rows": r["n_rows"],
+                "enc_bytes": r["enc_bytes"],
+            }))
+        return 0
+
     if args.command == "decode":
-        out = decode_job(spark, args.input)
+        out = decode_job(spark, args.input, as_of=args.as_of)
         if args.print_only:
             out.explain("formatted")
             return 0

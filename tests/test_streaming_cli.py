@@ -326,3 +326,44 @@ def test_cli_verify_without_out(spark, tmp_path):
     synth_transcripts(spark, n_conv=30, seed=42, n_pt=2).write.parquet(src)
     assert main(["encode", "--input", src, "--out", out]) == 0
     assert main(["verify", "--input", src, "--encoded", out]) == 0
+
+
+def test_cli_compact_snapshots_asof(spark, tmp_path, capsys):
+    """CLI surface for the round-5 lifecycle: encode two appends via
+    group-prefixed runs, `snapshots` lists both commits, `compact` bin-packs
+    the small groups, `decode --as-of` writes the first batch only."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from bids2table_spark import cli
+
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    assert cli.main(["synth", "--out", src, "--n-conv", "80"]) == 0
+    full = spark.read.parquet(src)
+    uid = F.regexp_extract("conv_id", r"conv-0*(\d+)", 1).cast("long")
+    a = full.filter(uid % 2 == 0)
+    b = full.filter(uid % 2 == 1)
+    a.write.mode("overwrite").parquet(str(tmp_path / "a"))
+    b.write.mode("overwrite").parquet(str(tmp_path / "b"))
+    # encode_job directly for prefixes (the CLI encodes one run per call)
+    from bids2table_spark import encode_job
+
+    encode_job(spark, a, enc, run_id="s1", group_prefix="a:",
+               target_group_rows=4096)
+    encode_job(spark, b, enc, run_id="s2", group_prefix="b:",
+               target_group_rows=4096)
+    capsys.readouterr()
+    assert cli.main(["snapshots", "--input", enc]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [x["run_id"] for x in lines] == ["s1", "s2"]
+    assert cli.main(["compact", "--input", enc, "--group-rows", "65536"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["groups_compacted"] >= 2
+    dec_dir = str(tmp_path / "asof")
+    assert cli.main(["decode", "--input", enc, "--out", dec_dir,
+                     "--as-of", "s1"]) == 0
+    got = spark.read.parquet(dec_dir)
+    assert got.count() == a.count()
+    assert got.join(a, on=["conv_id", "turn_idx"], how="left_anti").count() == 0

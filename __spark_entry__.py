@@ -1245,6 +1245,12 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bids2table_spark.operators.text import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bids2table_spark.operators.text import lang_id
 
@@ -1336,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "normalize_text": q_normalize_text,
         "vocab_topk": q_vocab_topk,
+        "repetition_score": q_repetition_score,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1775,6 +1782,32 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE length(token) > 0
             GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "repetition_score": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+              FROM toks, UNNEST(range(1, len(t))) AS u(i)
+            ), bgc AS (
+              SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+            ), top AS (
+              SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+              FROM bgc GROUP BY doc_id
+            ), ln AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)), x -> trim(x)),
+                       x -> length(x) > 0) AS ls
+              FROM documents
+            )
+            SELECT ln.doc_id,
+                   CASE WHEN len(ls) > 0
+                        THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                        ELSE 0.0 END AS dup_line_frac,
+                   coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM ln LEFT JOIN top ON ln.doc_id = top.doc_id
         """,
         "lang_id": _lang_id_oracle(),
         "quality_score": """

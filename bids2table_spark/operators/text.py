@@ -91,6 +91,71 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_score(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document — the quality-filter
+    rules that catch boilerplate and degenerate generations which plain
+    length/stopword scores miss:
+
+    * ``dup_line_frac``: fraction of non-empty trimmed lines that are
+      duplicates of an earlier line (1 - distinct/total) — computed with
+      pure array expressions, no explode, so it costs one codegen'd pass;
+    * ``top_bigram_frac``: share of all word 2-grams taken by the single
+      most frequent one.  Bigrams are built as an ARRAY expression
+      (``transform(sequence(...))`` — no self-join, no per-doc window),
+      then exploded into a two-level count/max aggregation: map-side
+      partial counts make the shuffle O(distinct bigrams), not O(corpus),
+      the same economics as ``vocab_topk``.
+
+    Thresholding (e.g. drop docs with dup_line_frac > 0.3) is left to the
+    caller — this operator only measures."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(_tok())
+    base = docs.select(
+        "doc_id", dup_line_frac.alias("dup_line_frac"), toks.alias("_toks")
+    ).select(
+        "doc_id",
+        "dup_line_frac",
+        F.when(
+            F.size("_toks") >= 2,
+            F.expr(
+                "transform(sequence(0, size(_toks) - 2), "
+                "i -> concat_ws(' ', _toks[i], _toks[i+1]))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_bg"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("_bg").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        (F.max("c") / F.sum("c")).alias("top_bigram_frac")
+    )
+    return (
+        base.select("doc_id", "dup_line_frac")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("dup_line_frac").cast("double").alias("dup_line_frac"),
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
 def fingerprint_winnow(
     docs: DataFrame, k: int = 8, w: int = 16, chunk_chars: int = 1 << 20
 ) -> DataFrame:

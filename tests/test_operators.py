@@ -516,3 +516,22 @@ def test_vocab_topk_deterministic_tiebreak(spark):
     assert [(r["token"], r["n"]) for r in out] == [
         ("apple", 2), ("banana", 2), ("cherry", 1),
     ]
+
+
+def test_repetition_score_edges(spark):
+    from bids2table_spark.operators.text import repetition_score
+
+    rows = [
+        (1, "spam spam spam spam"),          # one bigram repeated 3x
+        (2, "a\nb\na\n\n  \nb"),             # 4 non-empty lines, 2 distinct
+        (3, ""),                              # empty doc
+        (4, "solo"),                          # 1 token: no bigrams
+        (5, "x y\nx y\nx y"),                # all lines identical
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_score(docs).collect()}
+    assert got[1]["top_bigram_frac"] == 1.0 and got[1]["dup_line_frac"] == 0.0
+    assert abs(got[2]["dup_line_frac"] - 0.5) < 1e-12
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] == 0.0
+    assert abs(got[5]["dup_line_frac"] - (1 - 1 / 3)) < 1e-12

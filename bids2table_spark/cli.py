@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--block-rows", type=int, default=65_536)
     p.add_argument("--group-rows", type=int, default=262_144)
+    p.add_argument(
+        "--group-bytes", default=None,
+        help="byte bound on encode group size ('64 MiB', '1GB', or bytes); "
+        "fat-row partitions get more, smaller groups (reference writer "
+        "parity: byte-sized flush partitions)",
+    )
     p.add_argument("--sample-fraction", type=float, default=0.05)
     p.add_argument("--run-id", default=None)
     p.add_argument("--no-resume", action="store_true")
@@ -60,8 +66,9 @@ def main(argv: list[str] | None = None) -> int:
         help="JSON config file composing the job (reference parity: "
         "bids2table -c <cfg> ... composes the whole plan from config, "
         "bids2table/__main__.py:34-96). Keys mirror the CLI flags "
-        "(input, out, block_rows, group_rows, sample_fraction, run_id, "
-        "resume) plus 'codecs': {column-or-pt/column: codec} overriding "
+        "(input, out, block_rows, group_rows, group_bytes, "
+        "sample_fraction, run_id, resume) plus 'codecs': "
+        "{column-or-pt/column: codec} overriding "
         "the auto-selector per column.",
     )
     args = p.parse_args(argv)
@@ -81,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
             if tok.startswith("--"):
                 explicit.add(tok[2:].split("=", 1)[0].replace("-", "_"))
         for key, conv in (("block_rows", int), ("group_rows", int),
-                          ("sample_fraction", float)):
+                          ("group_bytes", str), ("sample_fraction", float)):
             if key in cfg and key not in explicit:
                 setattr(args, key, conv(cfg[key]))
         if cfg.get("resume") is False:
@@ -130,6 +137,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, df, args.out,
             run_id=args.run_id, plan=plan,
             block_rows=args.block_rows, target_group_rows=args.group_rows,
+            target_group_bytes=args.group_bytes,
             resume=not args.no_resume,
             on_new_columns=args.on_new_columns,
         )

@@ -8,6 +8,49 @@ from __future__ import annotations
 from pyspark.sql import Column, Window, functions as F
 
 
+_SIZE_UNITS = {
+    "b": 1,
+    "kb": 10**3, "mb": 10**6, "gb": 10**9, "tb": 10**12,
+    "kib": 1024, "mib": 1024**2, "gib": 1024**3, "tib": 1024**4,
+}
+
+
+def parse_size(size) -> int:
+    """F3 size parse: human-readable size string -> integer bytes
+    (reference analog: ``bids2table/utils.py:293-320``, consumed by the
+    writer's ``partition_size="64 MiB"`` flush bound, ``writer.py:45``).
+    Accepts decimal (KB/MB/GB/TB) and binary (KiB/MiB/GiB/TiB) units,
+    case-insensitive, optional whitespace, float magnitudes, or a plain
+    int/number (already bytes)."""
+    import re
+
+    if isinstance(size, (int, float)):
+        return int(size)
+    m = re.fullmatch(r"\s*([0-9]*\.?[0-9]+)\s*([a-zA-Z]*)\s*", str(size))
+    if not m:
+        raise ValueError(f"unparseable size {size!r}")
+    num, unit = float(m.group(1)), m.group(2).lower()
+    if unit and unit not in _SIZE_UNITS:
+        raise ValueError(
+            f"size {size!r}: unknown unit {m.group(2)!r} "
+            f"(expected one of {', '.join(sorted(_SIZE_UNITS))})"
+        )
+    return int(num * _SIZE_UNITS.get(unit, 1))
+
+
+def format_size(n: int | float, binary: bool = True) -> str:
+    """F3 inverse: bytes -> best-unit human string (reference
+    ``detect_size_units``, ``bids2table/utils.py:322-339``)."""
+    step = 1024 if binary else 1000
+    units = ["B", "KiB", "MiB", "GiB", "TiB"] if binary else ["B", "KB", "MB", "GB", "TB"]
+    v = float(n)
+    for u in units[:-1]:
+        if abs(v) < step:
+            return f"{v:.0f} {u}" if u == "B" else f"{v:.2f} {u}"
+        v /= step
+    return f"{v:.2f} {units[-1]}"
+
+
 def regexp_entity(col, pattern: str, cast: str | None = None) -> Column:
     """P2 regex entity extraction with typed cast; '' (no match) -> null."""
     out = F.nullif(F.regexp_extract(col, pattern, 1), F.lit(""))

@@ -321,6 +321,7 @@ def resolve_salt_plan(
     scope: str = "",
     pt_col: str = "pt",
     target_group_rows: int | None = DEFAULT_GROUP_ROWS,
+    target_group_bytes: int | str | None = None,
     resume: bool = True,
 ) -> dict[str, int]:
     """Stable resume identity: group labels must be a pure function of
@@ -334,7 +335,10 @@ def resolve_salt_plan(
     """
     _, _, ppath = _paths(out_dir)
     stored = load_salt_plan(spark, out_dir, scope) if resume else {}
-    fresh = salt_plan(df, pt_col=pt_col, target_group_rows=target_group_rows)
+    fresh = salt_plan(
+        df, pt_col=pt_col, target_group_rows=target_group_rows,
+        target_group_bytes=target_group_bytes,
+    )
     new_pts = {pt: n for pt, n in fresh.items() if pt not in stored}
     if new_pts and resume:
         from .session import local_df
@@ -361,6 +365,7 @@ def encode_job(
     conv_col: str = "conv_id",
     block_rows: int = 65_536,
     target_group_rows: int = DEFAULT_GROUP_ROWS,
+    target_group_bytes: int | str | None = None,
     resume: bool = True,
     max_groups: int | None = None,
     group_prefix: str = "",
@@ -372,8 +377,12 @@ def encode_job(
     """Encode ``df`` into out_dir, skipping already-committed groups.
 
     Returns a summary dict (groups encoded/skipped/failed, bytes).
-    ``max_groups`` caps the number of groups this run commits — used by
-    tests to simulate an interrupted job.  ``group_prefix`` scopes group
+    ``target_group_bytes`` (int bytes or "64 MiB"-style string) adds a raw
+    BYTE bound on group size alongside the row target — fat-row partitions
+    get more, smaller groups (reference parity: the writer flushes
+    byte-sized partitions, ``bids2table/writer.py:39,45``; see
+    ``partitioning.salt_plan``).  ``max_groups`` caps the number of groups
+    this run commits — used by tests to simulate an interrupted job.  ``group_prefix`` scopes group
     labels (streaming passes the epoch id so a new micro-batch never
     collides with an earlier batch's committed labels).
 
@@ -469,7 +478,8 @@ def encode_job(
     _pt = _phase_timer(run_id)
     splan = resolve_salt_plan(
         spark, df, out_dir, scope=group_prefix, pt_col=pt_col,
-        target_group_rows=target_group_rows, resume=resume,
+        target_group_rows=target_group_rows,
+        target_group_bytes=target_group_bytes, resume=resume,
     )
     grouped = with_group(
         df, splan, pt_col=pt_col, conv_col=conv_col, group_prefix=group_prefix

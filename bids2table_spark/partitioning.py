@@ -30,8 +30,62 @@ def adaptive_group_rows(total_rows: int, parallelism: int, target_group_rows: in
     return min(target_group_rows, per_core_target)
 
 
+def row_bytes_expr(df: DataFrame, exclude: tuple[str, ...] = ()) -> F.Column:
+    """Estimated raw bytes of one row, as a Catalyst expression.
+
+    Variable-width columns (string/binary, arrays thereof) measure their
+    actual ``octet_length``; fixed-width types use their physical width.
+    Struct fields recurse.  The estimate feeds byte-based group sizing
+    (``salt_plan(target_group_bytes=...)``) — it need not match the
+    encoded size, only rank row weight consistently so fat-row partitions
+    get proportionally more, smaller groups."""
+    from pyspark.sql import types as T
+
+    _FIXED = {
+        T.ByteType: 1, T.BooleanType: 1, T.ShortType: 2, T.IntegerType: 4,
+        T.FloatType: 4, T.DateType: 4, T.LongType: 8, T.DoubleType: 8,
+        T.TimestampType: 8, T.TimestampNTZType: 8,
+    }
+
+    def field_bytes(c: F.Column, dt) -> F.Column:
+        w = _FIXED.get(type(dt))
+        if w is not None:
+            return F.lit(w)
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            return F.coalesce(F.octet_length(c), F.lit(0))
+        if isinstance(dt, T.ArrayType):
+            ew = _FIXED.get(type(dt.elementType))
+            if ew is not None:
+                return F.coalesce(F.size(c), F.lit(0)) * ew
+            if isinstance(dt.elementType, (T.StringType, T.BinaryType)):
+                return F.coalesce(
+                    F.aggregate(
+                        c, F.lit(0),
+                        lambda acc, x: acc + F.coalesce(F.octet_length(x), F.lit(0)),
+                    ),
+                    F.lit(0),
+                )
+            # nested arrays: count leaf elements x 8 (good enough to rank)
+            return F.coalesce(F.size(F.flatten(c)), F.lit(0)) * 8
+        if isinstance(dt, T.StructType):
+            parts = [field_bytes(c.getField(f.name), f.dataType) for f in dt.fields]
+            return sum(parts[1:], parts[0]) if parts else F.lit(0)
+        return F.lit(8)
+
+    parts = [
+        field_bytes(F.col(f.name), f.dataType)
+        for f in df.schema.fields
+        if f.name not in exclude
+    ]
+    expr = sum(parts[1:], parts[0]) if parts else F.lit(1)
+    return expr.cast("long")
+
+
 def salt_plan(
-    df: DataFrame, pt_col: str = "pt", target_group_rows: int | None = DEFAULT_GROUP_ROWS
+    df: DataFrame,
+    pt_col: str = "pt",
+    target_group_rows: int | None = DEFAULT_GROUP_ROWS,
+    target_group_bytes: int | str | None = None,
 ) -> dict[str, int]:
     """rows-per-pt pre-pass -> {pt: n_salts}. Hot pts get more buckets; the
     group-size target adapts to cluster parallelism (see adaptive_group_rows).
@@ -39,10 +93,26 @@ def salt_plan(
     One aggregation + one driver collect; the result is tiny (one entry per
     partition) and is attached back as a *literal map expression*, not a
     join — the salt lookup costs nothing at scan time.
-    """
+
+    ``target_group_bytes`` (int bytes or a human string — "64 MiB" etc.,
+    see ``functions.parse_size``; reference writer sizes its flush
+    partitions in bytes the same way, ``bids2table/writer.py:39,45``)
+    switches sizing from row count to RAW BYTES per group, measured per pt
+    from the same pre-pass: a partition with 10x-longer texts gets 10x
+    more salts instead of 10x-heavier encode tasks.  The byte bound only
+    ever SHRINKS groups below the row target (it is a memory cap, not a
+    packing goal), floored at 1024 rows per group."""
     if target_group_rows is None:
         target_group_rows = DEFAULT_GROUP_ROWS
-    rows = df.groupBy(pt_col).count().collect()
+    aggs = [F.count("*").alias("count")]
+    if target_group_bytes is not None:
+        from .functions import parse_size
+
+        target_group_bytes = parse_size(target_group_bytes)
+        if target_group_bytes <= 0:
+            raise ValueError(f"target_group_bytes must be > 0, got {target_group_bytes}")
+        aggs.append(F.sum(row_bytes_expr(df, exclude=(pt_col,))).alias("bytes"))
+    rows = df.groupBy(pt_col).agg(*aggs).collect()
     if any(r[pt_col] is None for r in rows):
         raise ValueError(
             f"partition column {pt_col!r} contains NULL values — every row "
@@ -52,7 +122,20 @@ def salt_plan(
     target = adaptive_group_rows(
         int(total), df.sparkSession.sparkContext.defaultParallelism, target_group_rows
     )
-    return {r[pt_col]: max(1, -(-r["count"] // target)) for r in rows}
+    plan: dict[str, int] = {}
+    for r in rows:
+        per_pt_target = target
+        if target_group_bytes is not None and r["count"]:
+            avg_row = max(1.0, float(r["bytes"] or 0) / r["count"])
+            # floor at 1024 rows, NOT MIN_GROUP_ROWS: byte sizing exists so
+            # that genuinely fat rows (MB-scale multimodal payloads) yield
+            # memory-bounded encode tasks — a 32k-row floor would put 32 GB
+            # in one task.  1024 rows keeps groups block-friendly while the
+            # group-universe cap (encode_job) still bounds driver memory.
+            by_bytes = max(1024, int(target_group_bytes / avg_row))
+            per_pt_target = min(target, by_bytes)
+        plan[r[pt_col]] = max(1, -(-r["count"] // per_pt_target))
+    return plan
 
 
 def with_group(

@@ -1269,6 +1269,23 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing per doc_id shard (GPT-style
+    pretraining batching): seq_id / token offset each document starts at."""
+    from bids2table_spark.operators.text import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048, n_shards=16)
+
+
+def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket sampling: engine-stable 10% slice of
+    documents keyed on doc_id (reproducible eval split)."""
+    from bids2table_spark.operators.text import sample_by_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_by_hash(docs, "doc_id", 0.10)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bids2table_spark.operators.text import fingerprint
 
@@ -1346,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
+        "pack_sequences": q_pack_sequences,
+        "sample_by_hash": q_sample_by_hash,
         "fingerprint": q_fingerprint,
         "fingerprint_winnow": q_fingerprint_winnow,
     }
@@ -1843,6 +1862,27 @@ def oracle_sql() -> dict[str, str]:
                          ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END)::BIGINT AS ws_tokens,
                    len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens
             FROM documents
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, (doc_id % 16)::INT AS shard,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END)::BIGINT AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT shard, doc_id, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+              FROM t
+            )
+            SELECT shard, doc_id, n_tokens,
+                   (st // 2048)::BIGINT AS seq_id,
+                   (st % 2048)::BIGINT AS seq_off
+            FROM c
+        """,
+        "sample_by_hash": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < 100000
         """,
         "fingerprint": """
             SELECT doc_id,

@@ -310,3 +310,62 @@ def vocab_topk(docs: DataFrame, k: int = 100, min_count: int = 1) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048, n_shards: int = 16) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining batching):
+    documents are concatenated in ``doc_id`` order and the token stream is
+    split into fixed ``seq_len`` windows; each document reports the shard,
+    the sequence it STARTS in, and its token offset there.
+
+    Packing is a prefix sum — inherently sequential — so real pipelines
+    pack per SHARD: each shard is an independent token stream, and the
+    window partitions by a deterministic ``doc_id % n_shards``.  One
+    shuffle, ``n_shards``-way parallel (10k+ shards at 100 TB; a shard is
+    whatever one trainer data-loader consumes).  Token count is the same
+    whitespace tokenization as :func:`token_counts`, so the packing is
+    reproducible from the raw text alone — no tokenizer state."""
+    from pyspark.sql import Window
+
+    ws = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, 0)
+        .otherwise(F.size(_tok()))
+        .cast("long")
+    )
+    t = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        ws.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        start.alias("_st"),
+    ).select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.expr(f"CAST(_st DIV {int(seq_len)} AS BIGINT)").alias("seq_id"),
+        (F.col("_st") % seq_len).cast("long").alias("seq_off"),
+    )
+
+
+def sample_by_hash(df: DataFrame, key_col: str, fraction: float, mod: int = 1_000_000) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose md5-derived bucket of
+    ``key_col`` falls under ``fraction``.  The sample is a pure function of
+    the key — stable across runs, machines, and engines (unlike
+    ``DataFrame.sample``, whose output depends on partitioning), and
+    co-sampling related tables on a shared key keeps them consistent.
+    Partition-local (NO shuffle, no RNG state); the standard way to cut a
+    reproducible eval slice out of a 100 TB corpus."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % mod
+    )
+    return df.filter(bucket < int(round(fraction * mod)))

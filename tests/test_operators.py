@@ -535,3 +535,52 @@ def test_repetition_score_edges(spark):
     assert got[3]["dup_line_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
     assert got[4]["top_bigram_frac"] == 0.0
     assert abs(got[5]["dup_line_frac"] - (1 - 1 / 3)) < 1e-12
+
+
+def test_pack_sequences_chunks_and_offsets(spark):
+    from bids2table_spark.operators.text import pack_sequences
+
+    # one shard (n_shards=1): 3 docs of 3/5/4 tokens, seq_len=4
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g h"), (2, "i j k l")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_off"])
+        for r in pack_sequences(docs, seq_len=4, n_shards=1).collect()
+    }
+    # token stream offsets: doc0 starts at 0, doc1 at 3, doc2 at 8
+    assert got == {0: (3, 0, 0), 1: (5, 0, 3), 2: (4, 2, 0)}
+
+
+def test_pack_sequences_empty_doc_and_sharding(spark):
+    from bids2table_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "  "), (1, "x y"), (2, "z"), (3, "w w w")],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, seq_len=2, n_shards=2).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # shard = doc_id % 2; empty doc consumes 0 tokens and doesn't shift others
+    assert by_id[0]["shard"] == 0 and by_id[0]["n_tokens"] == 0
+    assert by_id[2]["shard"] == 0 and by_id[2]["seq_off"] == 0  # after 0-token doc
+    assert by_id[1]["shard"] == 1 and by_id[1]["seq_id"] == 0
+    assert by_id[3]["shard"] == 1 and by_id[3]["seq_id"] == 1  # starts at offset 2
+
+
+def test_sample_by_hash_deterministic_and_bounded(spark):
+    from bids2table_spark.operators.text import sample_by_hash
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in sample_by_hash(df, "k", 0.2).collect())
+    b = sorted(r["k"] for r in sample_by_hash(df.repartition(7), "k", 0.2).collect())
+    assert a == b  # partitioning-independent
+    assert 0.1 < len(a) / 2000 < 0.3
+    # nested: a smaller fraction is a subset of a larger one (same hash ladder)
+    c = set(r["k"] for r in sample_by_hash(df, "k", 0.05).collect())
+    assert c <= set(a)
+    assert sample_by_hash(df, "k", 0.0).count() == 0
+    assert sample_by_hash(df, "k", 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        sample_by_hash(df, "k", 1.5)

@@ -1286,6 +1286,17 @@ def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_by_hash(docs, "doc_id", 0.10)
 
 
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a 13-gram with the
+    deterministic 2% hash-sampled 'eval set' slice of the same table."""
+    from bids2table_spark.operators.dedup import ngram_decontaminate
+    from bids2table_spark.operators.text import sample_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = sample_by_hash(docs, "doc_id", 0.02)
+    return ngram_decontaminate(docs, evalset, n=13)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bids2table_spark.operators.text import fingerprint
 
@@ -1365,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "pack_sequences": q_pack_sequences,
         "sample_by_hash": q_sample_by_hash,
+        "ngram_decontaminate": q_ngram_decontaminate,
         "fingerprint": q_fingerprint,
         "fingerprint_winnow": q_fingerprint_winnow,
     }
@@ -1383,6 +1395,22 @@ _HASHED_SHINGLES = (
     f"list_distinct(list_transform({_SHINGLES}, "
     "s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))"
 )
+
+
+def _hashed_shingles_sql(n: int) -> str:
+    """_HASHED_SHINGLES generalized to word n-grams of any n (DuckDB mirror
+    of dedup.hashed_shingles_col(col, n); toks[i:i+n-1] is inclusive)."""
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    grams = (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} "
+        f"THEN list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+    return (
+        f"list_distinct(list_transform({grams}, "
+        "s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))"
+    )
 
 
 def _minhash_sig_sql(k: int) -> str:
@@ -1883,6 +1911,19 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_hash": """
             SELECT doc_id, lang, source FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < 100000
+        """,
+        "ngram_decontaminate": f"""
+            WITH ev AS (
+              SELECT DISTINCT unnest({_hashed_shingles_sql(13)}) AS h
+              FROM documents
+              WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < 20000
+            ), c AS (
+              SELECT doc_id, unnest({_hashed_shingles_sql(13)}) AS h
+              FROM documents
+            )
+            SELECT c.doc_id, count(*)::BIGINT AS n_shared
+            FROM c JOIN ev USING (h)
+            GROUP BY c.doc_id
         """,
         "fingerprint": """
             SELECT doc_id,

@@ -454,3 +454,33 @@ def dedup_clusters(docs: DataFrame, **lsh_kwargs) -> DataFrame:
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame, evalset: DataFrame, n: int = 13
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with the eval set (the published pretraining practice —
+    13-gram overlap — applied cross-table).
+
+    Returns ``(doc_id, n_shared)`` for contaminated corpus docs, where
+    ``n_shared`` counts the distinct shared n-gram hashes.  Documents
+    shorter than ``n`` tokens shingle to their whole text (same rule as
+    :func:`shingles_col`), so short eval items still catch exact copies.
+
+    Scale shape: the eval side (benchmarks — thousands of docs, not
+    billions) collapses to a DISTINCT hash set and BROADCASTS; the corpus
+    explode then joins map-side — corpus bytes never shuffle for the
+    membership test.  The only shuffle is the final per-doc count, keyed
+    on doc_id over the (tiny) matched subset.  Hash arithmetic is the
+    shared md5-prefix int64 (``hashed_shingles_col``), so a DuckDB oracle
+    reproduces it exactly."""
+    ev = (
+        evalset.select(F.explode(hashed_shingles_col("text", n)).alias("h"))
+        .distinct()
+    )
+    hits = (
+        corpus.select("doc_id", F.explode(hashed_shingles_col("text", n)).alias("h"))
+        .join(F.broadcast(ev), "h", "left_semi")
+    )
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_shared"))

@@ -584,3 +584,27 @@ def test_sample_by_hash_deterministic_and_bounded(spark):
     assert sample_by_hash(df, "k", 1.0).count() == 2000
     with pytest.raises(ValueError):
         sample_by_hash(df, "k", 1.5)
+
+
+def test_ngram_decontaminate(spark):
+    from bids2table_spark.operators.dedup import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "completely unrelated words here nothing shared at all today"),
+            (2, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "quick brown fox jumps"), (101, "tiny")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in ngram_decontaminate(corpus, evalset, n=4).collect()
+    }
+    # doc 0 shares the 4-gram "quick brown fox jumps"; doc 2 (< n tokens)
+    # shingles to its whole text and matches eval doc 101 exactly
+    assert got == {0: 1, 2: 1}

@@ -178,7 +178,14 @@ class _Table:
         for i, s in enumerate(symbols):
             mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
         self.sym_bytes = mat
+        # contiguous per-byte-index columns: decompress gathers sym_cols[k]
+        # with a 1-D index instead of 2-D fancy indexing into strided rows
+        self.sym_cols = np.ascontiguousarray(mat.T)
         self.by_len: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # one combined 2-byte-prefix bitmask for ALL multi-byte classes:
+        # bit (L-2) set => some length-L symbol starts with that u16 prefix.
+        # compress gathers it ONCE per buffer instead of once per class.
+        self.pref_bits = np.zeros(65536, dtype=np.uint8)
         for L in range(1, MAX_LEN + 1):
             idx = [i for i, s in enumerate(symbols) if len(s) == L]
             if not idx:
@@ -192,6 +199,8 @@ class _Table:
             for i in idx:
                 s = symbols[i]
                 pref[int.from_bytes(s[: min(2, L)], "little")] = True
+            if L >= 2:
+                self.pref_bits[np.flatnonzero(pref)] |= np.uint8(1 << (L - 2))
             self.by_len[L] = (keys[order], np.array(idx, dtype=np.int64)[order], pref)
 
 
@@ -226,19 +235,30 @@ def compress(buf: np.ndarray, table: _Table) -> np.ndarray:
             if n >= 2
             else np.empty(0, np.uint16)
         )
+        # ONE prefix-table gather for all classes; per class it degrades to a
+        # cheap sequential bit-test (uint8 AND) instead of a random gather
+        pbits = table.pref_bits[u16] if n >= 2 else np.empty(0, np.uint8)
     for L in multi:
         keys, codes, pref = table.by_len[L]
         if n < L:
             continue
-        pos = np.flatnonzero(pref[u16[: n - L + 1]])
+        pos = np.flatnonzero(pbits[: n - L + 1] & np.uint8(1 << (L - 2)))
         if len(pos) == 0:
             continue
         if any_committed:
-            # P[i] = committed bytes strictly before i
-            P = np.empty(n + 1, dtype=np.int32)
-            P[0] = 0
-            np.cumsum(taken_u8, out=P[1:])
-            pos = pos[P[pos + L] == P[pos]]
+            if len(pos) * L < n:
+                # sparse candidates: L gathers over len(pos) beat an O(n)
+                # cumsum (same filter — "any committed byte in [p, p+L)")
+                ov = taken_u8[pos]
+                for k in range(1, L):
+                    ov = ov | taken_u8[pos + k]
+                pos = pos[ov == 0]
+            else:
+                # P[i] = committed bytes strictly before i
+                P = np.empty(n + 1, dtype=np.int32)
+                P[0] = 0
+                np.cumsum(taken_u8, out=P[1:])
+                pos = pos[P[pos + L] == P[pos]]
             if len(pos) == 0:
                 continue
         mask = np.uint64((1 << (8 * L)) - 1) if L < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -348,11 +368,21 @@ def decompress(stream: np.ndarray, table: _Table, out_len: int) -> np.ndarray:
     sym_tok = ~is_lit
     sym_codes = codes[sym_tok]
     sym_off = offs[:-1][sym_tok]
+    # sort tokens by symbol length DESC once: the tokens still live at byte
+    # index k then form a PREFIX of the sorted arrays, so each of the <=8
+    # scatter passes is a cheap slice — no per-pass length gather or boolean
+    # mask materialization (scatter targets stay disjoint, order irrelevant)
+    slens = table.sym_len[sym_codes]
+    order = np.argsort(-slens, kind="stable")
+    sc = sym_codes[order]
+    so = sym_off[order]
+    counts = np.bincount(slens, minlength=MAX_LEN + 1)
+    n_ge = np.cumsum(counts[::-1])[::-1]  # n_ge[i] = #tokens with len >= i
     for k in range(MAX_LEN):  # constant-bound loop over symbol byte index
-        m = table.sym_len[sym_codes] > k
-        if not m.any():
+        end = int(n_ge[k + 1])
+        if end == 0:
             break
-        out[sym_off[m] + k] = table.sym_bytes[sym_codes[m], k]
+        out[so[:end] + k] = table.sym_cols[k][sc[:end]]
     if len(out) != out_len:
         raise ValueError(f"fsst decode length mismatch: {len(out)} != {out_len}")
     return out

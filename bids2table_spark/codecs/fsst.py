@@ -54,11 +54,18 @@ def build_table(buf: np.ndarray, max_symbols: int = MAX_SYMBOLS, iters: int = 6)
     if len(sample) < 1024 or not symbols:
         return symbols
     best_symbols, best_size = symbols, None
+    stale = 0  # refinement usually converges in 2-3 iterations; stop after
+    # two consecutive non-improving trials (best table is kept regardless)
     for _ in range(max(0, iters - 1)):
         table = _Table(symbols)
         stream = compress(sample, table)
         if best_size is None or len(stream) < best_size:
             best_symbols, best_size = symbols, len(stream)
+            stale = 0
+        else:
+            stale += 1
+            if stale >= 2:
+                return best_symbols
         tok, is_lit = _parse_stream(stream)
         toks = stream[tok]
         # realized gain per existing symbol: code frequency x bytes saved

@@ -107,6 +107,43 @@ def test_fsst_escape_everything():
     assert codec.decode(meta, payload, len(vals), "str").to_pylist() == vals
 
 
+def test_fsst_all_symbol_lengths_decode():
+    """Decode scatter with symbols of EVERY length 1..8 active at once (pins
+    the length-desc prefix-slice scatter in decompress), plus escape bytes
+    including literal 0xFF interleaved between matches."""
+    from bids2table_spark.codecs import fsst as fm
+
+    syms = [bytes([ord("a") + i] * (i + 1)) for i in range(8)]  # a,bb,...,hhhhhhhh
+    table = fm._Table(syms)
+    parts = []
+    for rep in range(20):
+        for i, s in enumerate(syms):
+            parts.append(s)
+            parts.append(bytes([0xFF if (rep + i) % 3 == 0 else 0x01]))  # no symbol
+    raw = b"".join(parts)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    stream = fm.compress(buf, table)
+    out = fm.decompress(np.asarray(stream, dtype=np.uint8), table, len(buf))
+    assert bytes(bytearray(out)) == raw
+    # every code 0..7 must appear in the stream so all 8 lengths are exercised
+    tok, is_lit = fm._parse_stream(np.asarray(stream, dtype=np.uint8))
+    codes = set(np.asarray(stream)[tok][~is_lit].tolist())
+    assert codes.issuperset(range(8))
+
+
+def test_fsst_empty_table_all_escapes():
+    """A table with no symbols degrades to pure escape coding."""
+    from bids2table_spark.codecs import fsst as fm
+
+    table = fm._Table([])
+    raw = bytes(range(256)) * 3
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    stream = fm.compress(buf, table)
+    assert len(stream) == 2 * len(buf)  # escape + literal per byte
+    out = fm.decompress(np.asarray(stream, dtype=np.uint8), table, len(buf))
+    assert bytes(bytearray(out)) == raw
+
+
 def test_fsst_multibyte_utf8_straddle():
     """Multi-byte UTF-8 sequences straddling symbol boundaries."""
     vals = ["🚀" * 40, "é" * 33 + "🚀", "日本語" * 21] * 30

@@ -220,4 +220,15 @@ def decode_table(blocks_df, columns: list[tuple[str, str]] | None = None, verify
             names.append(name)
         return pa.Table.from_arrays(arrays, names=names)
 
+    # EXPLICIT repartition on the group key (round 6): the groupBy's own
+    # exchange is an ENSURE_REQUIREMENTS shuffle, which AQE happily
+    # coalesces by *bytes* — encoded chunks are tiny (~10 B/row), so at
+    # bench scale the whole decode collapsed into ONE post-shuffle
+    # partition and every chunk's kernel work ran serially in a single
+    # python worker (measured: all chunks on one pid).  A
+    # REPARTITION_BY_NUM shuffle pins the partition count; the groupBy
+    # reuses its partitioning, so there is still exactly one exchange.
+    # Same fix encode_grouped has carried since round 1 (encode.py).
+    n_part = blocks_df.sparkSession.sparkContext.defaultParallelism
+    blocks_df = blocks_df.repartition(n_part, "pt", "grp", "block_id")
     return blocks_df.groupBy("pt", "grp", "block_id").applyInArrow(decode_group, ddl)

@@ -603,7 +603,12 @@ def encode_job(
 
     # 1) durable blocks first, into THIS run's own partition directory (no
     # per-pt hive dirs: each encode task emits one file; pt lives as a
-    # column, and readers select via the manifest join)
+    # column, and readers select via the manifest join).  A run_path that
+    # already exists means a crashed-then-retried pinned run_id — the only
+    # case the block-level dedup window and the mpath-replay summary below
+    # are for; the common fresh run skips both (round-6: they cost two
+    # extra jobs per encode at identical output).
+    fresh_run = not _exists(run_path)
     _pt.lap("pre_encode")
     blocks.write.mode("append").option("compression", "zstd").parquet(run_path)
     _pt.lap("encode_write")
@@ -621,14 +626,15 @@ def encode_job(
     written = spark.read.schema(BLOCKS_DDL_WITH_IDX).parquet(run_path).join(
         F.broadcast(pending), on=[pt_col, "grp"], how="left_semi"
     )
-    # a crashed-then-retried run with a pinned run_id appends a second,
-    # bit-identical copy of some blocks; dedup so metrics stay exact
-    wd = Window.partitionBy(pt_col, "grp", "block_id", "column").orderBy("checksum")
-    written = (
-        written.withColumn("_rn", F.row_number().over(wd))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    if not fresh_run:
+        # a crashed-then-retried run with a pinned run_id appends a second,
+        # bit-identical copy of some blocks; dedup so metrics stay exact
+        wd = Window.partitionBy(pt_col, "grp", "block_id", "column").orderBy("checksum")
+        written = (
+            written.withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     is_data = F.col("codec") != ERROR_CODEC
     manifest = (
         written.groupBy(pt_col, "grp")
@@ -684,17 +690,8 @@ def encode_job(
         )
     )
     manifest = manifest.cache()  # one computation serves the write AND the
-    # empty-group gap check below (re-reading mpath cost an extra job/run)
-    # _extra_manifest rows (compaction tombstones) ride in the SAME append:
-    # the single write is the commit point, so the new compacted groups and
-    # the supersede of their sources become visible together — a crash
-    # before this line leaves only unreachable orphan blocks
-    to_write = (
-        manifest if _extra_manifest is None
-        else manifest.unionByName(_extra_manifest)
-    )
-    to_write.write.mode("append").parquet(mpath)
-    _pt.lap("manifest_write")
+    # empty-group gap check + fresh-run summary below (re-reading mpath
+    # cost an extra job/run)
 
     # salt buckets that received ZERO conversations (hash imbalance on a
     # small n_salts) produce no blocks and hence no manifest row above —
@@ -702,7 +699,7 @@ def encode_job(
     # resume re-runs the whole encode.  DISTRIBUTED (round 5): the gap set
     # is a left anti-join of pending against this run's manifest rows —
     # written straight out, no `.collect()` of group keys back to the driver
-    # (the cached manifest frame serves both this and the write above).
+    # (the cached manifest frame serves it).
     empties = (
         pending.join(manifest.select(pt_col, "grp"), on=[pt_col, "grp"], how="left_anti")
         .withColumn("run_id", F.lit(run_id))
@@ -721,22 +718,48 @@ def encode_job(
             "error",
         )
     )
-    empties.write.mode("append").parquet(mpath)
-    _pt.lap("empties_write")
-    manifest.unpersist()
+    # ONE manifest append (round 6: manifest + empties + compaction
+    # tombstones were three separate writes = three Spark jobs; the single
+    # append is also a cleaner commit point — new groups, gap rows and any
+    # supersede become visible together).  _extra_manifest rows (compaction
+    # tombstones) ride in the same append: a crash before this line leaves
+    # only unreachable orphan blocks.
+    to_write = manifest.unionByName(empties)
+    if _extra_manifest is not None:
+        to_write = to_write.unionByName(_extra_manifest)
 
-    m = spark.read.parquet(mpath).filter(F.col("run_id") == run_id)
-    # summary over the LATEST row per (pt, grp) within this run: a replayed
-    # epoch / retried pinned run_id re-encodes previously-failed groups and
-    # appends committed rows — the superseded failed rows must not keep
-    # counting (a streaming retry would loop forever on groups_failed > 0)
-    wlast = Window.partitionBy(pt_col, "grp").orderBy(F.col("committed_at").desc())
-    m = m.withColumn("_rn", F.row_number().over(wlast)).filter(F.col("_rn") == 1)
-    agg = m.agg(
-        F.sum((F.col("status") == "committed").cast("long")),
-        F.sum((F.col("status") == "failed").cast("long")),
-        F.sum("orig_bytes"), F.sum("enc_bytes"), F.sum("n_rows"),
-    ).collect()[0]
+    def _summary_agg(m):
+        return m.agg(
+            F.sum((F.col("status") == "committed").cast("long")),
+            F.sum((F.col("status") == "failed").cast("long")),
+            F.sum("orig_bytes"), F.sum("enc_bytes"), F.sum("n_rows"),
+        ).collect()[0]
+
+    if fresh_run:
+        # this run's manifest rows are exactly manifest ∪ empties, each
+        # (pt, grp) once — aggregate those frames directly instead of
+        # re-reading mpath + a latest-row window (two jobs saved; the
+        # replay path below is only reachable for retried pinned run_ids).
+        # The agg runs BEFORE the append on purpose: manifest's plan reaches
+        # mpath through the resume anti-join, so appending first would
+        # invalidate the cache (recacheByPath) and the summary would
+        # recompute against a manifest that now contains this very run —
+        # every group "already committed", summary all zeros.
+        agg = _summary_agg(manifest.unionByName(empties))
+        to_write.write.mode("append").parquet(mpath)
+        _pt.lap("manifest_write")
+    else:
+        to_write.write.mode("append").parquet(mpath)
+        _pt.lap("manifest_write")
+        m = spark.read.parquet(mpath).filter(F.col("run_id") == run_id)
+        # summary over the LATEST row per (pt, grp) within this run: a replayed
+        # epoch / retried pinned run_id re-encodes previously-failed groups and
+        # appends committed rows — the superseded failed rows must not keep
+        # counting (a streaming retry would loop forever on groups_failed > 0)
+        wlast = Window.partitionBy(pt_col, "grp").orderBy(F.col("committed_at").desc())
+        m = m.withColumn("_rn", F.row_number().over(wlast)).filter(F.col("_rn") == 1)
+        agg = _summary_agg(m)
+    manifest.unpersist()
     return {
         "run_id": run_id,
         "groups_total": n_total,

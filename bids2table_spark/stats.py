@@ -96,9 +96,19 @@ def _stats_phys_ok(phys: str) -> bool:
 _INT_PHYS = ("int", "long", "timestamp", "timestamp_ntz", "boolean", "date")
 
 
-def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) -> dict:
+def _col_partial(
+    pt: str, salt: int, name: str, phys: str, series: pd.Series,
+    trial: bool | None = None,
+) -> dict:
+    """``trial``: run the (expensive) FSST actual-compression trial in this
+    chunk.  Default (None) keeps the historical rule — salt 0 carries the
+    trial — used by the explicit ``salts_per_pt`` path and unit tests; the
+    global-chunk path spreads trials across chunks by a per-pt hash so no
+    single task pays every pt's trial."""
     from .blocks import is_list_phys, list_child_phys
 
+    if trial is None:
+        trial = salt == 0
     if is_list_phys(phys):
         # list<T>: partials over the flattened child values (the same view
         # the list kernel encodes and choose_codec_local ranks on); the row
@@ -112,7 +122,7 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
             flat = pa.array([], type=pa.null())
         else:
             flat = pc.list_flatten(arr.drop_null() if arr.null_count else arr)
-        out = _col_partial(pt, salt, name, list_child_phys(phys), flat.to_pandas())
+        out = _col_partial(pt, salt, name, list_child_phys(phys), flat.to_pandas(), trial=trial)
         out["phys"] = phys
         return out
     out = {
@@ -174,7 +184,7 @@ def _col_partial(pt: str, salt: int, name: str, phys: str, series: pd.Series) ->
         # ONE chunk per pt (salt 0); histograms/counts still come from every
         # chunk, and the merge weights the ratio by bytes so missing chunks
         # simply don't contribute
-        if salt == 0 and len(sample) >= 1024:
+        if trial and len(sample) >= 1024:
             trial = sample[:_FSST_TRIAL_BYTES]
             table = fsst_mod._Table(fsst_mod.build_table(trial))
             stream = fsst_mod.compress(trial, table)
@@ -226,6 +236,18 @@ def sample_stats(
     the runs/delta structure the encode groups will actually see; chunk
     boundaries only ever split *between* conversations.
 
+    Default chunking is GLOBAL (round 6): one salt space of
+    ``defaultParallelism`` chunks shared by every pt, with each chunk
+    splitting by pt *inside* the pandas function.  The old per-pt salting
+    (``salts_per_pt``, kept for explicit callers/tests) produced
+    n_pt x salts chunks, and the ~15 ms applyInPandas per-chunk cost
+    (arrow<->pandas conversion + per-group dispatch) dominated the pass:
+    128 chunks cost 2.2 s where 32 cost 1.2 s at identical output.  The
+    per-pt FSST trial spreads over chunks by a per-pt hash so no single
+    task pays every pt's trial.  Partials are identical in distribution
+    (conversations still land whole, runs/delta structure preserved);
+    only the salt labels differ, and the merge is salt-agnostic.
+
     ``pre_sampled``: an already flattened+sampled frame to reuse (lets
     merged_stats materialize ONE sample shared by both stats jobs instead
     of two independent full-input sampling scans)."""
@@ -240,23 +262,61 @@ def sample_stats(
             fraction=min(1.0, fraction), seed=seed
         )
     fields = _stats_fields(df, pt_col)
-    if salts_per_pt is None:
-        salts_per_pt = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
-    sampled = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(sort_cols[0])), F.lit(salts_per_pt)).cast("int")
-    )
+    if salts_per_pt is not None:
+        sampled = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(sort_cols[0])), F.lit(salts_per_pt)).cast("int")
+        )
 
-    def per_chunk(key, pdf):
+        def per_chunk(key, pdf):
+            from .blocks import pin_worker_threads
+
+            pin_worker_threads()
+            pt, salt = str(key[0]), int(key[1])
+            pdf = pdf.sort_values(list(sort_cols), kind="mergesort", ignore_index=True)
+            return pd.DataFrame(
+                [_col_partial(pt, salt, name, phys, pdf[name]) for name, phys in fields]
+            )
+
+        sampled = sampled.repartition(
+            max(2, df.sparkSession.sparkContext.defaultParallelism), pt_col, "_salt"
+        )
+        return sampled.groupBy(pt_col, "_salt").applyInPandas(per_chunk, PARTIAL_DDL)
+
+    n_chunks = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    sampled = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(sort_cols[0])), F.lit(n_chunks)).cast("int")
+    )
+    # pin the post-shuffle partition count (REPARTITION_BY_NUM): the sample
+    # is a few MB, and AQE's byte-based coalescing would otherwise collapse
+    # the python stage to ONE task — every chunk's numpy work serialized in
+    # a single worker (measured round 6; same fix as encode/decode)
+    sampled = sampled.repartition(n_chunks, "_salt")
+
+    def per_chunk_global(key, pdf):
+        import hashlib
+
         from .blocks import pin_worker_threads
 
         pin_worker_threads()
-        pt, salt = str(key[0]), int(key[1])
-        pdf = pdf.sort_values(list(sort_cols), kind="mergesort", ignore_index=True)
-        return pd.DataFrame(
-            [_col_partial(pt, salt, name, phys, pdf[name]) for name, phys in fields]
-        )
+        salt = int(key[0])
+        rows = []
+        for pt, sub in pdf.groupby(pt_col, sort=False):
+            sub = sub.sort_values(list(sort_cols), kind="mergesort", ignore_index=True)
+            # exactly one chunk per pt runs the FSST trial (deterministic
+            # per-pt hash — the trial chunk is stable across runs)
+            trial = (
+                int(hashlib.md5(str(pt).encode()).hexdigest()[:8], 16) % n_chunks
+                == salt
+            )
+            rows.extend(
+                _col_partial(str(pt), salt, name, phys, sub[name], trial=trial)
+                for name, phys in fields
+            )
+        if not rows:  # a salt with zero sampled rows: typed empty frame
+            return pd.DataFrame(columns=[c.split()[0] for c in PARTIAL_DDL.split(", ")])
+        return pd.DataFrame(rows)
 
-    return sampled.groupBy(pt_col, "_salt").applyInPandas(per_chunk, PARTIAL_DDL)
+    return sampled.groupBy("_salt").applyInPandas(per_chunk_global, PARTIAL_DDL)
 
 
 def _entropy_from_hist(counts: np.ndarray) -> float:

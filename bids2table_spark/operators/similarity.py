@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..partitioning import spread_scan
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -32,7 +34,9 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     ``queries``: (query_id, qv array<double>).  Deterministic tie-break on
     vec_id; cosine rounded to 4 dp.
     """
-    base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    # the per-pair cosine is an interpreted higher-order fold — spread a
+    # single-file scan so it runs on every core (no-op at scale)
+    base = spread_scan(emb, "vec_id").select("vec_id", _as_double(F.col("embedding")).alias("v"))
     joined = base.crossJoin(F.broadcast(queries))
     scored = joined.select(
         "query_id",
@@ -75,7 +79,7 @@ def cosine_topk_lsh(
     """ANN top-k: candidates in the query's SRP bucket or any Hamming-1
     probe bucket are scored (approximate: misses beyond one flipped plane —
     the standard multi-probe LSH trade-off)."""
-    base = emb.select(
+    base = spread_scan(emb, "vec_id").select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
     ).withColumn("bucket", srp_bucket(F.col("v"), planes))
@@ -261,7 +265,7 @@ def ivf_build(
     per-iteration mean agg.  Past ``IVF_ARROW_CELLS`` cells the assignment
     runs as the Arrow matmul UDF (see :func:`assign_cells`) instead of a
     per-centroid literal expression."""
-    base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    base = spread_scan(emb, "vec_id").select("vec_id", _as_double(F.col("embedding")).alias("v"))
     # seed with the first n_centroids vectors in id ORDER — not
     # filter(vec_id < n), which assumes dense ids from 0 and silently
     # yields fewer (or zero) centroids on sparse/offset id spaces
@@ -304,7 +308,7 @@ def ivf_topk(
     layer can partition by (cell-pruned scans).  ``queries``: (query_id,
     qv array<double>) — broadcast, like cosine_topk."""
     cents = ivf_build(emb, n_centroids=n_centroids, iters=iters)
-    base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    base = spread_scan(emb, "vec_id").select("vec_id", _as_double(F.col("embedding")).alias("v"))
     assigned = assign_cells(base, cents)
     if len(cents) * len(cents[0]) <= IVF_ARROW_CELLS:
         probe_structs = F.array(*[

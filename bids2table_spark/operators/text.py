@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..partitioning import spread_scan
+
 # three high-frequency marker words per language; deterministic argmax with
 # alphabetical tie-break
 LANG_MARKERS: dict[str, list[str]] = {
@@ -41,7 +43,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     pred = F.lit("und")
     for lang, score in reversed(scores):  # earlier langs win ties
         pred = F.when((score == best_score) & (best_score > 0), lang).otherwise(pred)
-    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+    return spread_scan(docs, "doc_id").select("doc_id", "lang", pred.alias("pred_lang"))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -66,7 +68,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.lit(0.2) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
         + F.lit(0.1) * (1 - upper_ratio)
     )
-    return docs.select(
+    return spread_scan(docs, "doc_id").select(
         "doc_id",
         n_chars.alias("n_chars_m"),
         n_tokens.cast("long").alias("n_tokens"),
@@ -86,7 +88,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     pieces = F.regexp_count(
         F.lower(F.col("text")), F.lit(r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]")
     ).cast("long")
-    return docs.select(
+    return spread_scan(docs, "doc_id").select(
         "doc_id", ws.alias("ws_tokens"), pieces.alias("bpe_tokens")
     )
 
@@ -120,7 +122,7 @@ def repetition_score(docs: DataFrame) -> DataFrame:
         F.length(F.trim(F.col("text"))) == 0,
         F.array().cast("array<string>"),
     ).otherwise(_tok())
-    base = docs.select(
+    base = spread_scan(docs, "doc_id").select(
         "doc_id", dup_line_frac.alias("dup_line_frac"), toks.alias("_toks")
     ).select(
         "doc_id",
@@ -259,7 +261,7 @@ def fingerprint_winnow(
 def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
     """Winnowing-lite document fingerprint: lexicographic min of md5 over all
     character k-grams (k=8) — a deterministic near-dup key."""
-    return docs.select(
+    return spread_scan(docs, "doc_id").select(
         "doc_id",
         F.expr(
             f"case when length(text) >= {k} then "
@@ -283,7 +285,7 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         F.col("text"), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
     )
     collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
-    return docs.select(
+    return spread_scan(docs, "doc_id").select(
         "doc_id",
         collapsed.alias("norm_text"),
         F.length("text").cast("long").alias("n_chars_before"),
@@ -299,7 +301,7 @@ def vocab_topk(docs: DataFrame, k: int = 100, min_count: int = 1) -> DataFrame:
     a single ORDER BY LIMIT over the merged counts (Spark's TakeOrdered,
     no full sort materialized).  This is the counting pass a BPE/unigram
     vocab induction starts from."""
-    toks = docs.select(F.explode(_tok()).alias("token")).filter(
+    toks = spread_scan(docs, "doc_id").select(F.explode(_tok()).alias("token")).filter(
         F.length("token") > 0
     )
     counts = toks.groupBy(F.lower(F.col("token")).alias("token")).agg(
@@ -332,7 +334,7 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048, n_shards: int = 16) -> 
         .otherwise(F.size(_tok()))
         .cast("long")
     )
-    t = docs.select(
+    t = spread_scan(docs, "doc_id").select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
         ws.alias("n_tokens"),

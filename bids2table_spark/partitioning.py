@@ -22,6 +22,25 @@ DEFAULT_GROUP_ROWS = 262_144
 MIN_GROUP_ROWS = 32_768
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive fan-out of a narrow scan feeding compute-heavy
+    projections (regex passes, per-row md5/tokenize, interpreted
+    higher-order lambdas).
+
+    A small table is one parquet file = ONE scan task, so a pure projection
+    runs serially no matter how many cores exist — at sf0.1 the quality /
+    token / fingerprint queries spent ~0.5 s single-threaded on a 32-core
+    box.  When the scan already has >= cluster parallelism partitions (the
+    100 TB case) this is a NO-OP: no shuffle is added, so it cannot regress
+    the at-scale plan.  The repartition is keyed (deterministic under task
+    retry — guide rule: never round-robin rows whose recompute could
+    reorder) and only ever RAISES the partition count."""
+    P = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= P:
+        return df
+    return df.repartition(P, *keys) if keys else df.repartition(P)
+
+
 def adaptive_group_rows(total_rows: int, parallelism: int, target_group_rows: int = DEFAULT_GROUP_ROWS) -> int:
     """Cap the group size so there are at least ~4 groups per core — on a
     small input the fixed 256k target would leave most of the cluster idle;

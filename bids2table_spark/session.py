@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when the per-partition build
+        # side fits (guide §3.1): skips two full sorts per join.  Safe with
+        # AQE partition sizing; identical results, different operator.  The
+        # AQE threshold lets a planned sort-merge join convert to shuffled
+        # hash at runtime once real partition sizes are known (<= advisory
+        # partition size per the guide's starting config).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

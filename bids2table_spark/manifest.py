@@ -52,6 +52,30 @@ def _paths(out_dir: str) -> tuple[str, str, str]:
     return f"{out_dir}/blocks", f"{out_dir}/manifest", f"{out_dir}/salt_plan"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_aqe(spark: SparkSession):
+    """Scope-disable adaptive execution for METADATA-sized queries.
+
+    AQE materializes every shuffle as its own query-stage job; on the
+    manifest-derivation tail of encode_job (a read of the just-written
+    ~MB-scale block metadata + a groupBy bounded by the group universe,
+    never input-sized) that turned one aggregate into SEVEN scheduled jobs
+    (round-6 job trace).  With AQE off these run as one classic job each.
+    The conf is session-wide, so the scope is kept as small as possible and
+    restored immediately (concurrent encode_jobs from driver threads would
+    briefly share the setting — worst case they lose AQE on one small
+    query, never correctness)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 class _phase_timer:
     """Env-gated (B2T_TIMING=1) wall-clock phase log for encode_job — the
     job is many small Spark actions and one big one; this attributes the
@@ -314,6 +338,41 @@ def load_salt_plan(
     return {r["pt"]: int(r["n_salts"]) for r in rows}
 
 
+def _append_salt_plan(
+    spark: SparkSession, ppath: str, scope: str, new_pts: dict[str, int]
+) -> None:
+    """Persist new (scope, pt, n_salts) rows.  The plan is a handful of
+    rows, so on a local filesystem it is written straight from the driver
+    with pyarrow — one fewer Spark job per encode (round 6); the file name
+    is unique, so concurrent appends never clobber.  Non-local URIs keep
+    the Spark write (the driver has no direct filesystem there)."""
+    rows = sorted(new_pts.items())
+    local = ppath.removeprefix("file://")
+    if "://" not in local:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(local, exist_ok=True)
+        tbl = pa.table(
+            {
+                "scope": pa.array([scope] * len(rows), pa.string()),
+                "pt": pa.array([pt for pt, _ in rows], pa.string()),
+                "n_salts": pa.array([int(n) for _, n in rows], pa.int32()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(local, f"part-{uuid.uuid4().hex}.parquet"))
+        return
+    from .session import local_df
+
+    local_df(
+        spark,
+        [(scope, pt, int(n)) for pt, n in rows],
+        "scope string, pt string, n_salts int",
+    ).coalesce(1).write.mode("append").parquet(ppath)
+
+
 def resolve_salt_plan(
     spark: SparkSession,
     df: DataFrame,
@@ -341,13 +400,7 @@ def resolve_salt_plan(
     )
     new_pts = {pt: n for pt, n in fresh.items() if pt not in stored}
     if new_pts and resume:
-        from .session import local_df
-
-        local_df(
-            spark,
-            [(scope, pt, int(n)) for pt, n in sorted(new_pts.items())],
-            "scope string, pt string, n_salts int",
-        ).coalesce(1).write.mode("append").parquet(ppath)
+        _append_salt_plan(spark, ppath, scope, new_pts)
     plan = {pt: stored.get(pt, new_pts.get(pt, 1)) for pt in fresh}
     # stored pts absent from this df keep their labels for future runs but
     # contribute no pending groups now
@@ -745,11 +798,18 @@ def encode_job(
         # invalidate the cache (recacheByPath) and the summary would
         # recompute against a manifest that now contains this very run —
         # every group "already committed", summary all zeros.
-        agg = _summary_agg(manifest.unionByName(empties))
-        to_write.write.mode("append").parquet(mpath)
+        with _no_aqe(spark):
+            agg = _summary_agg(manifest.unionByName(empties))
+            # one manifest file per commit (Iceberg-style); without AQE's
+            # auto-coalesce the append would emit shuffle-partition-many
+            # tiny files.  coalesce, not repartition: the rows are bounded
+            # by the group universe, and the single post-exchange task is a
+            # metadata-sized write.
+            to_write.coalesce(1).write.mode("append").parquet(mpath)
         _pt.lap("manifest_write")
     else:
-        to_write.write.mode("append").parquet(mpath)
+        with _no_aqe(spark):
+            to_write.coalesce(1).write.mode("append").parquet(mpath)
         _pt.lap("manifest_write")
         m = spark.read.parquet(mpath).filter(F.col("run_id") == run_id)
         # summary over the LATEST row per (pt, grp) within this run: a replayed
@@ -758,7 +818,8 @@ def encode_job(
         # counting (a streaming retry would loop forever on groups_failed > 0)
         wlast = Window.partitionBy(pt_col, "grp").orderBy(F.col("committed_at").desc())
         m = m.withColumn("_rn", F.row_number().over(wlast)).filter(F.col("_rn") == 1)
-        agg = _summary_agg(m)
+        with _no_aqe(spark):
+            agg = _summary_agg(m)
     manifest.unpersist()
     return {
         "run_id": run_id,

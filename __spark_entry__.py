@@ -344,23 +344,13 @@ def q_run_length_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("bucket").orderBy(
         "l_orderkey", "l_linenumber", "l_returnflag"
     )
-    nb = Window.partitionBy("bucket")
-    # ONE bucket-keyed shuffle (round 6): run lengths come from the gap to
-    # the NEXT run start (lead over the filtered start rows) instead of a
-    # groupBy over every lineitem row + a max-run_id window — both of which
-    # re-shuffled the table on keys the wb exchange had already established
-    # (the round-5 plan had 3 Exchanges before the checkpoint; this has 1).
-    # run_id = row_number over starts == the old cumulative-sum id, and
-    # run_len = next_start_rn - rn (last run: bucket row count + 1 - rn),
-    # so the ``runs`` frame is row-identical to the old formulation.
     flagged = li.select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
         F.floor(F.col("l_orderkey") / BUCKET).alias("bucket"),
     ).select(
-        "bucket",
-        "l_returnflag",
+        "*",
         F.when(
             F.lag("l_returnflag").over(wb).isNull()
             | (F.lag("l_returnflag").over(wb) != F.col("l_returnflag")),
@@ -368,24 +358,14 @@ def q_run_length_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("is_start"),
-        F.row_number().over(wb).alias("rn"),
-        F.count("*").over(nb).alias("n_rows_b"),
+    ).withColumn(
+        "run_id", F.sum("is_start").over(wb.rowsBetween(Window.unboundedPreceding, 0))
     )
-    ws = Window.partitionBy("bucket").orderBy("rn")
-    runs = (
-        flagged.filter(F.col("is_start") == 1)
-        .select(
-            "bucket",
-            "l_returnflag",
-            F.row_number().over(ws).alias("run_id"),
-            (
-                F.coalesce(F.lead("rn", 1).over(ws), F.col("n_rows_b") + 1)
-                - F.col("rn")
-            ).alias("run_len"),
-            F.count("*").over(nb).alias("n_runs_b"),
-        )
-        .localCheckpoint()
+    runs = flagged.groupBy("bucket", "run_id", "l_returnflag").agg(
+        F.count("*").alias("run_len")
     )
+    nb = Window.partitionBy("bucket")
+    runs = runs.withColumn("n_runs_b", F.max("run_id").over(nb)).localCheckpoint()
     interior = runs.filter(
         (F.col("run_id") > 1) & (F.col("run_id") < F.col("n_runs_b"))
     ).select("l_returnflag", "run_len")

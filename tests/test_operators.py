@@ -608,3 +608,26 @@ def test_ngram_decontaminate(spark):
     # doc 0 shares the 4-gram "quick brown fox jumps"; doc 2 (< n tokens)
     # shingles to its whole text and matches eval doc 101 exactly
     assert got == {0: 1, 2: 1}
+
+
+def test_minhash_signatures_cross_batch_merge(spark):
+    """The numpy signature kernel merges per-batch partial minima: a doc
+    whose exploded shingle rows are split across Arrow batches must yield
+    the same signature as the single-batch path.  Forcing 16-row batches
+    guarantees every multi-shingle doc crosses a batch boundary."""
+    docs = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta iota kappa "),
+            F.lit("lambda mu nu xi omicron pi rho sigma tau upsilon doc "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        tiny = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs, k=8).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    full = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs, k=8).collect()}
+    assert tiny == full and len(full) == 12

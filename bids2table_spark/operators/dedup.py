@@ -356,9 +356,11 @@ def ngram_jaccard_pairs(
 def simhash64(docs: DataFrame) -> DataFrame:
     """60-bit simhash over distinct word tokens.
 
-    Shape: explode tokens -> ONE md5 per token -> 60 codegen'd conditional
-    SUM aggregates (bit votes) with map-side partial aggregation -> fold
-    the votes into the hash.  The round-2 version computed the same thing
+    Shape: explode tokens -> ONE md5 per token -> bit votes as a vectorized
+    numpy kernel per Arrow batch (round 6; previously 60 codegen'd
+    conditional SUM aggregates — same replacement and measured rationale as
+    minhash_signatures) -> fold the votes into the hash.  The round-2
+    version computed the same thing
     shuffle-free as a nested higher-order aggregate/zip_with, but Catalyst
     evaluates higher-order lambdas INTERPRETED (never codegen — the exact
     penalty that made k=128 minhash 40x slower); trading one (doc_id, h)
@@ -372,25 +374,68 @@ def simhash64(docs: DataFrame) -> DataFrame:
     # branch -> all votes negative -> simhash 0), so every input doc yields
     # a row in ONE pass — no second scan of docs, no join (the round-4
     # left-join fix recomputed a derived docs frame twice)
+    import numpy as np
+
     ex = docs.repartition(P, "doc_id").select(
         "doc_id", F.explode_outer(F.array_distinct(tokens_col())).alias("tok")
     ).select(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("v"),
     )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"c{b}")
-        for b in range(60)
-    ]
-    votes = ex.groupBy("doc_id").agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for b in range(60):
-        sim = sim + F.when(F.col(f"c{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # ROUND 6: the 60 conditional-SUM bit votes run as one numpy kernel per
+    # Arrow batch (same shape/rationale as minhash_signatures — the wide
+    # codegen'd aggregate paid 60 buffer writes per token row).  A NULL v
+    # (empty-token doc via explode_outer) voted -1 on every bit in the old
+    # aggregate; v=0 has all-zero bits and votes identically, so nulls
+    # fill to 0 exactly (and the int64 path stays lossless — a pandas null
+    # promotion to float64 would corrupt 60-bit hashes).  Per-batch
+    # (ones-count, token-count) partials are additive, so cross-batch
+    # merging is a second sort+reduceat; votes_b = 2*ones_b - n > 0 is the
+    # aggregate's sum(±1) > 0 bit for bit.
+    shifts = np.arange(60, dtype=np.uint64)
+    id_ddl = docs.schema["doc_id"].dataType.simpleString()
+
+    def per_part(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..blocks import pin_worker_threads
+
+        pin_worker_threads()
+        id_type, ids_parts, ones_parts, cnt_parts = None, [], [], []
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            id_type = batch.column("doc_id").type
+            doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            v = pc.fill_null(batch.column("v"), 0).to_numpy(zero_copy_only=False)
+            order = np.argsort(doc, kind="stable")
+            doc, v = doc[order], v[order]
+            starts = np.concatenate(([0], np.flatnonzero(doc[1:] != doc[:-1]) + 1))
+            bits = ((v.view(np.uint64)[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            ids_parts.append(doc[starts])
+            ones_parts.append(np.add.reduceat(bits, starts, axis=0))
+            cnt_parts.append(np.diff(np.append(starts, len(doc))))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        ones = np.vstack(ones_parts)
+        cnt = np.concatenate(cnt_parts)
+        if len(ids_parts) > 1:
+            order = np.argsort(ids, kind="stable")
+            ids, ones, cnt = ids[order], ones[order], cnt[order]
+            starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
+            ids = ids[starts]
+            ones = np.add.reduceat(ones, starts, axis=0)
+            cnt = np.add.reduceat(cnt, starts)
+        votes_pos = (2 * ones - cnt[:, None]) > 0
+        sim = (votes_pos * (np.int64(1) << np.arange(60, dtype=np.int64))[None, :]).sum(axis=1)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids.tolist(), type=id_type), pa.array(sim, type=pa.int64())],
+            names=["doc_id", "simhash"],
         )
-    return votes.select("doc_id", sim.alias("simhash"))
+
+    return ex.mapInArrow(per_part, f"doc_id {id_ddl}, simhash long")
 
 
 def srp_buckets(vcol, planes: int = 8, tables: int = 4):
